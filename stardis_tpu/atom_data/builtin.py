@@ -1,0 +1,291 @@
+"""Built-in, analytically generated atomic dataset.
+
+The reference framework downloads ``kurucz_cd23_chianti_H_He.h5`` from the
+TARDIS regression-data service (reference conftest.py:60-62).  This
+environment has no network access, so the framework ships a generator that
+builds a physically-correct hydrogen (+ helium + light-metal Saha) dataset
+from first principles:
+
+* H energy levels E_n = chi_H (1 - 1/n^2), g = 2 n^2, n <= n_max.
+* H bound-bound oscillator strengths from the Kramers formula with the
+  Johnson (1972, ApJ 174, 227) Gaunt factors — accurate to <1% for low
+  series members (f(1->2)=0.4162, f(2->3)=0.6407).
+* He I / He II level scaffolding (low-lying terms; He II hydrogenic).
+* NIST ionization energies for stages I-III of Z <= 30, with ground-term
+  statistical weights as single-level partition functions.
+
+Documented divergence: metal partition functions are ground-term-only and no
+metal lines are included — load a converted carsus file for full linelists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from stardis_tpu.atom_data.base import AtomData, einstein_a_from_f_lu
+from stardis_tpu.constants import C_CGS, EV_TO_ERG
+from stardis_tpu.util.species import ATOMIC_WEIGHTS_AMU, ELEMENT_SYMBOLS
+from stardis_tpu.constants import AMU_CGS
+
+CHI_H_EV = 13.598434005136  # NIST H I ionization energy [eV]
+
+# NIST ionization energies [eV] for stages I, II, III (Z: [chi_I, chi_II, chi_III])
+NIST_IONIZATION_EV = {
+    1: [13.598434],
+    2: [24.587387, 54.417760],
+    3: [5.391715, 75.640097, 122.454358],
+    4: [9.322699, 18.211153, 153.896203],
+    5: [8.298019, 25.15483, 37.93058],
+    6: [11.260288, 24.383143, 47.88778],
+    7: [14.53413, 29.60125, 47.4453],
+    8: [13.618055, 35.12112, 54.93554],
+    9: [17.42282, 34.97081, 62.70798],
+    10: [21.564540, 40.96297, 63.4233],
+    11: [5.139077, 47.28636, 71.6200],
+    12: [7.646236, 15.035271, 80.1436],
+    13: [5.985769, 18.82855, 28.447642],
+    14: [8.151683, 16.345845, 33.493],
+    15: [10.486686, 19.76949, 30.20264],
+    16: [10.36001, 23.33788, 34.86],
+    17: [12.967632, 23.81364, 39.80],
+    18: [15.759611, 27.62967, 40.735],
+    19: [4.340663, 31.62500, 45.8031],
+    20: [6.113155, 11.871719, 50.91316],
+    21: [6.56149, 12.79977, 24.756839],
+    22: [6.828120, 13.5755, 27.49171],
+    23: [6.746187, 14.634, 29.3111],
+    24: [6.766510, 16.486305, 30.959],
+    25: [7.434038, 15.639999, 33.668],
+    26: [7.902468, 16.19920, 30.651],
+    27: [7.88101, 17.0844, 33.50],
+    28: [7.639877, 18.168837, 35.187],
+    29: [7.726380, 20.29239, 36.841],
+    30: [9.394197, 17.96439, 39.7233],
+}
+
+# Ground-term statistical weights for ion charge states 0, 1, 2.
+GROUND_G = {
+    1: [2, 1],
+    2: [1, 2, 1],
+    3: [2, 1, 2],
+    4: [1, 2, 1],
+    5: [6, 1, 2],
+    6: [9, 6, 1],
+    7: [4, 9, 6],
+    8: [9, 4, 9],
+    9: [6, 9, 4],
+    10: [1, 6, 9],
+    11: [2, 1, 6],
+    12: [1, 2, 1],
+    13: [6, 1, 2],
+    14: [9, 6, 1],
+    15: [4, 9, 6],
+    16: [9, 4, 9],
+    17: [6, 9, 4],
+    18: [1, 6, 9],
+    19: [2, 1, 6],
+    20: [1, 2, 1],
+    21: [10, 15, 10],
+    22: [21, 28, 21],
+    23: [28, 25, 28],
+    24: [7, 6, 25],
+    25: [6, 7, 6],
+    26: [25, 30, 25],
+    27: [28, 21, 28],
+    28: [21, 10, 21],
+    29: [2, 1, 10],
+    30: [1, 2, 1],
+}
+
+
+def johnson_gaunt_bb(n: int, x):
+    """Johnson (1972) bound-bound Gaunt factor g(n, x), x = 1 - (n/n')^2."""
+    if n == 1:
+        g0, g1, g2 = 1.1330, -0.4059, 0.07014
+    elif n == 2:
+        g0, g1, g2 = 1.0785, -0.2319, 0.02947
+    else:
+        g0 = 0.9935 + 0.2328 / n - 0.1296 / n**2
+        g1 = -(0.6282 - 0.5598 / n + 0.5299 / n**2) / n
+        g2 = (0.3887 - 1.181 / n + 1.470 / n**2) / n**2
+    return g0 + g1 / x + g2 / x**2
+
+
+def hydrogen_f_lu(n_lower: int, n_upper: int) -> float:
+    """Absorption oscillator strength for H n -> n' (Johnson 1972 eq. 5)."""
+    n, npr = n_lower, n_upper
+    x = 1.0 - (n / npr) ** 2
+    return (
+        32.0
+        / (3.0 * np.sqrt(3.0) * np.pi)
+        * (n / npr**3)
+        / x**3
+        * johnson_gaunt_bb(n, x)
+    )
+
+
+def _hydrogenic_levels(z_nuc: int, chi_ev: float, n_max: int):
+    """(energy_erg, g) arrays for a hydrogenic ion with ionization chi."""
+    n = np.arange(1, n_max + 1)
+    energy = chi_ev * (1.0 - 1.0 / n**2) * EV_TO_ERG
+    g = 2 * n**2
+    return energy, g
+
+
+# Low-lying He I levels: (energy eV, g). NIST ASD values.
+HE_I_LEVELS_EV = [
+    (0.0, 1),  # 1s2 1S0
+    (19.819614, 3),  # 2s 3S1
+    (20.615774, 1),  # 2s 1S0
+    (20.964087, 9),  # 2p 3P
+    (21.218023, 3),  # 2p 1P1
+    (22.718466, 3),  # 3s 3S1
+    (22.920317, 1),  # 3s 1S0
+    (23.007073, 9),  # 3p 3P
+    (23.073650, 15),  # 3d 3D
+    (23.074365, 5),  # 3d 1D2
+    (23.087019, 3),  # 3p 1P1
+]
+
+
+def build_builtin_atom_data(
+    max_atomic_number: int = 30,
+    h_n_max: int = 20,
+    he_ii_n_max: int = 8,
+    include_linelists: bool = False,
+) -> AtomData:
+    """Generate the built-in atomic dataset.
+
+    Parameters
+    ----------
+    max_atomic_number : include elements up to this Z (<=30).
+    h_n_max : highest hydrogen principal quantum number.
+    he_ii_n_max : highest He II principal quantum number.
+    include_linelists : also attach a VALD-style ``linelist_atoms`` built
+        from the hydrogen lines (useful for exercising the VALD code path
+        without real VALD data).
+    """
+    zs = [z for z in range(1, max_atomic_number + 1) if z in NIST_IONIZATION_EV]
+
+    atom_rows = {
+        "symbol": [ELEMENT_SYMBOLS[z - 1] for z in zs],
+        "mass": [ATOMIC_WEIGHTS_AMU[z] * AMU_CGS for z in zs],
+    }
+    atom_data = pd.DataFrame(
+        atom_rows, index=pd.Index(zs, name="atomic_number")
+    )
+
+    ion_idx, ion_val = [], []
+    for z in zs:
+        for stage, chi in enumerate(NIST_IONIZATION_EV[z], start=1):
+            ion_idx.append((z, stage))
+            ion_val.append(chi * EV_TO_ERG)
+    ionization_data = pd.Series(
+        ion_val,
+        index=pd.MultiIndex.from_tuples(
+            ion_idx, names=["atomic_number", "ion_number"]
+        ),
+        name="ionization_energy",
+    )
+
+    # ---- levels -------------------------------------------------------
+    lev_idx, lev_e, lev_g, lev_meta = [], [], [], []
+
+    def add_level(z, ion, num, e_erg, g, metastable=False):
+        lev_idx.append((z, ion, num))
+        lev_e.append(e_erg)
+        lev_g.append(g)
+        lev_meta.append(metastable)
+
+    # H I: full hydrogenic ladder; H II: bare proton
+    e_h, g_h = _hydrogenic_levels(1, CHI_H_EV, h_n_max)
+    for i, (e, gg) in enumerate(zip(e_h, g_h)):
+        add_level(1, 0, i, e, int(gg), metastable=(i == 0))
+    add_level(1, 1, 0, 0.0, 1, metastable=True)
+
+    if 2 in NIST_IONIZATION_EV and max_atomic_number >= 2:
+        for i, (e_ev, gg) in enumerate(HE_I_LEVELS_EV):
+            add_level(2, 0, i, e_ev * EV_TO_ERG, gg, metastable=(i == 0))
+        e_he2, g_he2 = _hydrogenic_levels(2, 54.417760, he_ii_n_max)
+        for i, (e, gg) in enumerate(zip(e_he2, g_he2)):
+            add_level(2, 1, i, e, int(gg), metastable=(i == 0))
+        add_level(2, 2, 0, 0.0, 1, metastable=True)
+
+    for z in zs:
+        if z <= 2:
+            continue
+        gs = GROUND_G.get(z, [1, 1, 1])
+        n_stages = len(NIST_IONIZATION_EV[z])
+        for ion in range(min(n_stages + 1, len(gs))):
+            add_level(z, ion, 0, 0.0, gs[ion], metastable=True)
+
+    levels = pd.DataFrame(
+        {"energy": lev_e, "g": lev_g, "metastable": lev_meta},
+        index=pd.MultiIndex.from_tuples(
+            lev_idx, names=["atomic_number", "ion_number", "level_number"]
+        ),
+    )
+
+    # ---- hydrogen lines ----------------------------------------------
+    rows = []
+    for nl in range(1, h_n_max):
+        for nu_ in range(nl + 1, h_n_max + 1):
+            e_l = CHI_H_EV * (1 - 1 / nl**2) * EV_TO_ERG
+            e_u = CHI_H_EV * (1 - 1 / nu_**2) * EV_TO_ERG
+            from stardis_tpu.constants import H_CGS
+
+            nu_hz = (e_u - e_l) / H_CGS
+            f_lu = hydrogen_f_lu(nl, nu_)
+            g_l, g_u = 2 * nl**2, 2 * nu_**2
+            a_ul = einstein_a_from_f_lu(nu_hz, g_l, g_u, f_lu)
+            rows.append(
+                dict(
+                    atomic_number=1,
+                    ion_number=0,
+                    level_number_lower=nl - 1,
+                    level_number_upper=nu_ - 1,
+                    nu=nu_hz,
+                    f_lu=f_lu,
+                    A_ul=a_ul,
+                    wavelength_cm=C_CGS / nu_hz,
+                )
+            )
+    lines = pd.DataFrame(rows)
+    lines.index.name = "line_id"
+
+    linelist_atoms = None
+    if include_linelists:
+        g_lo = 2 * (lines.level_number_lower.values + 1) ** 2
+        j_lo = (g_lo - 1) / 2.0
+        g_up = 2 * (lines.level_number_upper.values + 1) ** 2
+        j_up = (g_up - 1) / 2.0
+        linelist_atoms = pd.DataFrame(
+            {
+                "atomic_number": lines.atomic_number.values,
+                "ion_charge": lines.ion_number.values,
+                "wavelength": lines.wavelength_cm.values * 1e8,  # AA
+                "log_gf": np.log10(g_lo * lines.f_lu.values),
+                "e_low": (
+                    CHI_H_EV
+                    * (1 - 1 / (lines.level_number_lower.values + 1) ** 2)
+                ),
+                "e_up": (
+                    CHI_H_EV
+                    * (1 - 1 / (lines.level_number_upper.values + 1) ** 2)
+                ),
+                "j_lo": j_lo,
+                "j_up": j_up,
+                "rad": np.log10(np.maximum(lines.A_ul.values, 1e-30)),
+                "stark": np.zeros(len(lines)),
+                "waals": np.zeros(len(lines)),
+            }
+        )
+
+    return AtomData(
+        atom_data,
+        ionization_data,
+        levels,
+        lines,
+        linelist_atoms=linelist_atoms,
+    )

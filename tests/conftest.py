@@ -1,0 +1,44 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+
+Mirrors the reference's parallel==serial determinism strategy
+(reference tests/test_stardis_full.py:17-27) by making every test run able
+to exercise real sharding on host CPU devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def builtin_atom_data():
+    from stardis_tpu.atom_data import build_builtin_atom_data
+
+    return build_builtin_atom_data(max_atomic_number=30)
+
+
+@pytest.fixture(scope="session")
+def synthetic_sun_path(tmp_path_factory):
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    path = tmp_path_factory.mktemp("models") / "sun_synth.mod"
+    write_marcs_file(path)
+    return path
+
+
+@pytest.fixture(scope="session")
+def example_tracing_nus():
+    """H-alpha window 6560-6570 AA at 0.1 AA (reference conftest.py:52-56)."""
+    from stardis_tpu import units as u
+
+    lambdas = np.arange(6560, 6570, 0.1)
+    return u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
