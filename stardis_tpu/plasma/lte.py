@@ -1,0 +1,231 @@
+"""Device-side LTE plasma solve (JAX).
+
+Re-implements from scratch the physics the reference obtains from the TARDIS
+BasePlasma DAG (reference stardis/plasma/base.py:491-569; required outputs
+pinned in SURVEY.md §2.8):
+
+    level Boltzmann factors g e^{-beta E}
+    -> partition functions U (segment-sum over ion slots)
+    -> Saha factors phi_j = 2 (U_{j+1}/U_j) g_e e^{-beta chi_j}
+    -> charge-conservation solve for n_e   (log-space bisection: the charge
+       balance is strictly decreasing in n_e, so bisection is exact,
+       deterministic and jit/vmap-friendly — no data-dependent iteration)
+    -> ion and level number densities
+    plus STARDIS-specific species: H-, H2, H2+ (plasma/base.py:62-127).
+
+All Saha algebra runs in log space so the solve is float32-safe on TPU
+(Boltzmann exponents reach e^-200 for He II at 3000 K).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stardis_tpu.constants import (
+    EV_TO_ERG,
+    H2_DISSOCIATION_ENERGY_EV,
+    H_CGS,
+    H_MINUS_CHI_EV,
+    K_B_CGS,
+    M_E_CGS,
+    M_P_CGS,
+    THERMAL_DE_BROGLIE_CONST,
+)
+from stardis_tpu.plasma.tables import PlasmaTables
+
+# Stancil 1994 H2+ equilibrium constants (reference plasma/base.py:38-57)
+H2_PLUS_K_EQUILIBRIUM_CONSTANT = np.array(
+    [0.9600, 9.7683, 29.997, 59.599, 265.32, 845.01, 1685.3, 4289.5]
+)
+H2_PLUS_K_SAMPLE_TEMPS = np.array(
+    [3150.0, 4200.0, 5040.0, 6300.0, 8400.0, 12600.0, 18600.0, 25200.0]
+)
+
+N_E_BISECTION_ITERS = 80
+
+
+class DevicePlasmaTables(NamedTuple):
+    """PlasmaTables payload as device arrays (a pytree jit argument)."""
+
+    slot_element: jnp.ndarray  # [S]
+    slot_ion: jnp.ndarray  # [S]
+    slot_index: jnp.ndarray  # [E, J]
+    chi: jnp.ndarray  # [E, J-1]
+    chi_mask: jnp.ndarray  # [E, J-1]
+    ion_charges: jnp.ndarray  # [E, J] = 0..J-1 broadcast
+    ion_mask: jnp.ndarray  # [E, J] charge state exists
+    level_energy: jnp.ndarray  # [L]
+    level_g: jnp.ndarray  # [L]
+    level_slot: jnp.ndarray  # [L]
+
+
+def device_tables(tables: PlasmaTables, dtype=jnp.float64) -> DevicePlasmaTables:
+    j_max = tables.j_max
+    e_count = tables.n_elements
+    charges = np.broadcast_to(np.arange(j_max), (e_count, j_max))
+    ion_mask = charges < tables.n_ions[:, None]
+    return DevicePlasmaTables(
+        slot_element=jnp.asarray(tables.slot_element),
+        slot_ion=jnp.asarray(tables.slot_ion),
+        slot_index=jnp.asarray(tables.slot_index),
+        chi=jnp.asarray(tables.chi, dtype=dtype),
+        chi_mask=jnp.asarray(tables.chi_mask),
+        ion_charges=jnp.asarray(charges, dtype=dtype),
+        ion_mask=jnp.asarray(ion_mask),
+        level_energy=jnp.asarray(tables.level_energy, dtype=dtype),
+        level_g=jnp.asarray(tables.level_g, dtype=dtype),
+        level_slot=jnp.asarray(tables.level_slot),
+    )
+
+
+class PlasmaState(NamedTuple):
+    """Dense LTE plasma state over (ion-slot/level, depth)."""
+
+    t: jnp.ndarray  # [D] temperatures (t_rad == t_electrons, ref base.py:564)
+    beta: jnp.ndarray  # [D] 1/(kT)
+    log_g_electron: jnp.ndarray  # [D]
+    partition_function: jnp.ndarray  # [S, D]
+    electron_densities: jnp.ndarray  # [D]
+    ion_number_density: jnp.ndarray  # [S, D]
+    level_number_density: jnp.ndarray  # [L, D]
+    number_density: jnp.ndarray  # [E, D] elemental
+    h_minus_density: jnp.ndarray  # [D]
+    h2_density: jnp.ndarray  # [D]
+    h2_plus_density: jnp.ndarray  # [D]
+
+
+def _log_partition_functions(dt: DevicePlasmaTables, beta, n_slots):
+    """log U[s, d] via logsumexp segment-reduction over levels."""
+    # x[l, d] = log g_l - beta_d E_l
+    x = jnp.log(dt.level_g)[:, None] - beta[None, :] * dt.level_energy[:, None]
+    # segment logsumexp: subtract per-slot max for stability
+    seg_max = jax.ops.segment_max(
+        x, dt.level_slot, num_segments=n_slots, indices_are_sorted=True
+    )
+    shifted = jnp.exp(x - seg_max[dt.level_slot])
+    seg_sum = jax.ops.segment_sum(
+        shifted, dt.level_slot, num_segments=n_slots, indices_are_sorted=True
+    )
+    return seg_max + jnp.log(seg_sum)
+
+
+def _log_phi(dt: DevicePlasmaTables, log_u, beta):
+    """log Saha factor phi[e, j, d] for transitions j -> j+1."""
+    s_lo = dt.slot_index[:, :-1]  # [E, J-1]
+    s_hi = dt.slot_index[:, 1:]
+    valid = dt.chi_mask
+    s_lo_c = jnp.clip(s_lo, 0)
+    s_hi_c = jnp.clip(s_hi, 0)
+    # log g_electron enters outside; here the U ratio and Boltzmann factor
+    log_ratio = log_u[s_hi_c] - log_u[s_lo_c]  # [E, J-1, D]
+    lp = jnp.log(2.0) + log_ratio - beta[None, None, :] * dt.chi[..., None]
+    return jnp.where(valid[..., None], lp, -jnp.inf)
+
+
+def _ion_fractions(dt: DevicePlasmaTables, log_phi_tot, log_ne):
+    """frac[e, j, d] of each element in charge state j, given log n_e[d]."""
+    log_r = log_phi_tot - log_ne[None, None, :]  # [E, J-1, D]
+    zeros = jnp.zeros_like(log_r[:, :1, :])
+    log_w = jnp.concatenate([zeros, jnp.cumsum(log_r, axis=1)], axis=1)  # [E, J, D]
+    log_w = jnp.where(dt.ion_mask[..., None], log_w, -jnp.inf)
+    return jax.nn.softmax(log_w, axis=1)
+
+
+def solve_lte(temperatures, elemental_number_density, dt: DevicePlasmaTables):
+    """LTE solve, fully vectorized over depth.
+
+    Parameters
+    ----------
+    temperatures : [D] K
+    elemental_number_density : [E, D] 1/cm^3
+    dt : DevicePlasmaTables
+    """
+    t = temperatures
+    n_elem = elemental_number_density
+    beta = 1.0 / (K_B_CGS * t)
+    n_slots = dt.slot_element.shape[0]
+
+    # fold constants in f64 Python first: 2 pi m_e k_B / h^2 ~ 1.8e10, while
+    # the unfolded factors (7.9e-43, 4.4e-53) underflow f32 on TPU
+    g_e_const = 2.0 * np.pi * M_E_CGS * K_B_CGS / H_CGS**2
+    log_g_electron = 1.5 * (jnp.log(t) + float(np.log(g_e_const)))
+
+    log_u = _log_partition_functions(dt, beta, n_slots)  # [S, D]
+    log_phi = _log_phi(dt, log_u, beta)  # [E, J-1, D]
+    log_phi_tot = log_phi + log_g_electron[None, None, :]
+
+    # --- charge-conservation bisection on log n_e -----------------------
+    # upper bound: every element fully stripped to its highest tracked stage
+    elem_max_charge = jnp.sum(dt.ion_mask, axis=1) - 1.0  # [E]
+    max_charge = jnp.sum(n_elem * elem_max_charge[:, None], axis=0)  # [D]
+    log_hi = jnp.log(max_charge * (1.0 + 1e-6) + 1e-30)
+    log_lo = log_hi - 80.0  # n_e spans < 35 decades in any stellar atmosphere
+
+    def total_charge(log_ne):
+        frac = _ion_fractions(dt, log_phi_tot, log_ne)  # [E, J, D]
+        charge = jnp.sum(frac * dt.ion_charges[..., None], axis=1)  # [E, D]
+        return jnp.sum(n_elem * charge, axis=0)  # [D]
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        f = total_charge(mid) - jnp.exp(mid)
+        lo = jnp.where(f > 0, mid, lo)
+        hi = jnp.where(f > 0, hi, mid)
+        return lo, hi
+
+    log_lo, log_hi = jax.lax.fori_loop(
+        0, N_E_BISECTION_ITERS, body, (log_lo, log_hi)
+    )
+    log_ne = 0.5 * (log_lo + log_hi)
+    n_e = jnp.exp(log_ne)
+
+    # --- populations ----------------------------------------------------
+    frac = _ion_fractions(dt, log_phi_tot, log_ne)  # [E, J, D]
+    n_ion = n_elem[dt.slot_element] * frac[dt.slot_element, dt.slot_ion]  # [S, D]
+
+    lb = dt.level_g[:, None] * jnp.exp(
+        -beta[None, :] * dt.level_energy[:, None]
+    )  # [L, D]
+    u = jnp.exp(log_u)
+    n_level = n_ion[dt.level_slot] * lb / u[dt.level_slot]
+
+    # --- hydrogen species (reference plasma/base.py:62-127) -------------
+    # slots (1, 0) and (1, 1) are always slots 0 and 1 (H sorts first)
+    n_h_neutral = n_ion[0]
+    n_h_plus = n_ion[1]
+
+    lam3 = (THERMAL_DE_BROGLIE_CONST / (M_E_CGS * t)) ** 1.5
+    h_minus = n_h_neutral * n_e * (lam3 / 4.0) * jnp.exp(
+        H_MINUS_CHI_EV * EV_TO_ERG * beta
+    )
+
+    lam3_p = (2.0 * THERMAL_DE_BROGLIE_CONST / (M_P_CGS * t)) ** 1.5
+    h2 = n_h_neutral**2 * lam3_p * jnp.exp(
+        H2_DISSOCIATION_ENERGY_EV * EV_TO_ERG * beta
+    )
+
+    k_h2p = jnp.interp(
+        t,
+        jnp.asarray(H2_PLUS_K_SAMPLE_TEMPS, dtype=t.dtype),
+        jnp.asarray(H2_PLUS_K_EQUILIBRIUM_CONSTANT, dtype=t.dtype),
+    )
+    h2_plus = n_h_neutral * n_h_plus / k_h2p * 1e-19
+
+    return PlasmaState(
+        t=t,
+        beta=beta,
+        log_g_electron=log_g_electron,
+        partition_function=u,
+        electron_densities=n_e,
+        ion_number_density=n_ion,
+        level_number_density=n_level,
+        number_density=n_elem,
+        h_minus_density=h_minus,
+        h2_density=h2,
+        h2_plus_density=h2_plus,
+    )

@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
+import jax  # noqa: E402
+
+# The axon sitecustomize forces jax_platforms="axon,cpu" regardless of the
+# JAX_PLATFORMS env var; override post-import so tests run on the virtual
+# 8-device CPU mesh instead of round-tripping through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
