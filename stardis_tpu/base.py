@@ -1,0 +1,190 @@
+"""Top-level API: run_stardis / STARDISOutput.
+
+Mirrors reference stardis/base.py:13-141.  ``n_threads`` is accepted for
+config compatibility but is advisory only — parallelism on TPU comes from
+XLA and the device mesh, not a thread pool (SURVEY.md §2.9 thread-runtime
+row)."""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from stardis_tpu import units as u
+from stardis_tpu.atom_data import AtomData, build_builtin_atom_data
+from stardis_tpu.io.abundances import rescale_nuclide_mass_fractions
+from stardis_tpu.io.config import load_config
+from stardis_tpu.io.marcs import read_marcs_model
+from stardis_tpu.io.mesa import read_mesa_model
+from stardis_tpu.pipeline import build_simulation_plan, run_simulation
+from stardis_tpu.radiation_field.solver import gauss_legendre_thetas
+
+logger = logging.getLogger(__name__)
+
+
+def _load_atom_data(spec: str) -> AtomData:
+    """Resolve the config ``atom_data`` entry.
+
+    Accepts a path to a stardis_tpu HDF file, or the special values
+    ``builtin`` / ``builtin:<Zmax>`` for the generated dataset (this
+    environment has no network access to fetch kurucz data — documented
+    divergence from the reference's download_atom_data flow)."""
+    if spec.startswith("builtin"):
+        z_max = 30
+        if ":" in spec:
+            z_max = int(spec.split(":", 1)[1])
+        return build_builtin_atom_data(max_atomic_number=z_max)
+    return AtomData.from_hdf(spec)
+
+
+def parse_config_to_model(config_fname, add_config_dict=None):
+    """Config + atom data + stellar model (reference io/base.py:20-132)."""
+    config = load_config(config_fname, add_config_dict)
+    adata = _load_atom_data(config.atom_data)
+
+    logger.info("Reading model")
+    im = config.input_model
+    if im.type == "marcs":
+        raw = read_marcs_model(Path(im.fname), gzipped=im.gzipped)
+        stellar_model = raw.to_stellar_model(
+            adata,
+            final_atomic_number=int(im.final_atomic_number),
+            composition_source=im.composition_source,
+            helium_mass_frac_Y=im.composition_Y,
+            heavy_metal_mass_frac_Z=im.composition_Z,
+        )
+        if config.opacity.line.disable_microturbulence:
+            stellar_model.microturbulence = stellar_model.microturbulence * 0.0
+    elif im.type == "mesa":
+        raw = read_mesa_model(Path(im.fname))
+        if im.truncate_to_shell != -99:
+            if im.truncate_to_shell < 0:
+                raise ValueError(
+                    f"{im.truncate_to_shell} shells requested for mesa "
+                    "truncation; -99 means no truncation."
+                )
+            raw.truncate_model(int(im.truncate_to_shell))
+        stellar_model = raw.to_stellar_model(
+            adata, final_atomic_number=int(im.final_atomic_number)
+        )
+    else:
+        raise ValueError("Model type must be 'marcs' or 'mesa'")
+
+    adata.prepare_atom_data(
+        np.arange(
+            1,
+            min(
+                len(stellar_model.composition.elemental_mass_fraction),
+                int(im.final_atomic_number),
+            )
+            + 1,
+        )
+    )
+
+    rescale = im.nuclide_rescaling_dict
+    rescale = rescale.to_dict() if hasattr(rescale, "to_dict") else dict(rescale)
+    if rescale:
+        stellar_model.composition.nuclide_mass_fraction = (
+            rescale_nuclide_mass_fractions(
+                stellar_model.composition.nuclide_mass_fraction,
+                list(rescale.keys()),
+                list(rescale.values()),
+            )
+        )
+
+    return config, adata, stellar_model
+
+
+class Opacities:
+    """Named per-source opacity arrays + total (reference opacities/base.py)."""
+
+    def __init__(self, opacities_dict, total_alphas):
+        self.opacities_dict = opacities_dict
+        self.total_alphas = total_alphas
+
+    def calc_total_alphas(self):
+        return self.total_alphas
+
+
+class RadiationField:
+    """Frequencies, opacities and fluxes of a finished simulation
+    (reference radiation_field/base.py:12-68)."""
+
+    def __init__(self, frequencies, opacities, f_nu, thetas, weights, i_nus=None):
+        self.frequencies = frequencies
+        self.opacities = opacities
+        self.F_nu = f_nu
+        self.thetas = thetas
+        self.I_nus_weights = weights
+        self.I_nus = i_nus
+
+
+class STARDISOutput:
+    """Key outputs of a simulation (reference base.py:84-141).
+
+    Attributes
+    ----------
+    nus, lambdas : Quantity
+    spectrum_nu : Quantity — F_nu at the outermost depth point [erg/s/cm^2/Hz]
+    spectrum_lambda : Quantity — F_lambda at the outermost point
+        [erg/s/cm^2/AA]
+    """
+
+    def __init__(self, result_options, stellar_model, stellar_plasma,
+                 stellar_radiation_field):
+        if result_options.return_model:
+            self.stellar_model = stellar_model
+        if result_options.return_plasma:
+            self.stellar_plasma = stellar_plasma
+        if result_options.return_radiation_field:
+            self.stellar_radiation_field = stellar_radiation_field
+
+        nus_hz = np.asarray(stellar_radiation_field.frequencies)
+        self.nus = u.Quantity(nus_hz, u.Hz)
+        self.lambdas = self.nus.to(u.AA, u.spectral())
+
+        f_nu = np.asarray(stellar_radiation_field.F_nu)
+        f_lambda = f_nu * nus_hz[None, :] / np.asarray(self.lambdas)[None, :]
+
+        self.spectrum_nu = u.Quantity(f_nu[-1], u.erg / u.s / u.cm**2 / u.Hz)
+        self.spectrum_lambda = u.Quantity(
+            f_lambda[-1], u.erg / u.s / u.cm**2 / u.AA
+        )
+
+
+def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None):
+    """Run a STARDIS simulation (reference base.py:13-45).
+
+    Parameters
+    ----------
+    config_fname : str — YAML config path.
+    tracing_lambdas_or_nus : Quantity with length or frequency units.
+    add_config_dict : optional dotted-key overrides.
+    """
+    tracing_nus = tracing_lambdas_or_nus.to(u.Hz, u.spectral())
+    tracing_nus_hz = np.atleast_1d(np.asarray(tracing_nus))
+
+    config, adata, stellar_model = parse_config_to_model(
+        config_fname, add_config_dict
+    )
+
+    logger.info("Creating plasma and opacity plan")
+    plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
+    logger.info("Solving plasma, opacities and transfer")
+    f_nu, total, opacities_dict, i_nus, state, window = run_simulation(plan)
+
+    thetas, weights = gauss_legendre_thetas(int(config.no_of_thetas))
+    radiation_field = RadiationField(
+        frequencies=plan.tracing_nus,
+        opacities=Opacities(opacities_dict, total),
+        f_nu=f_nu,
+        thetas=thetas,
+        weights=weights,
+        i_nus=i_nus,
+    )
+
+    return STARDISOutput(
+        config.result_options, stellar_model, state, radiation_field
+    )

@@ -1,0 +1,333 @@
+"""End-to-end simulation pipeline.
+
+Two-phase TPU-first design (SURVEY.md §7):
+
+1. ``build_simulation_plan`` — host-side "compile": read config/model/atom
+   data, select lines in the tracing window, precompute static index maps,
+   interpolate file cross-sections, build geometry/quadrature. Everything
+   NumPy/pandas; runs once.
+2. device stages (pure JAX, jitted):
+   * ``stage_plasma_and_lines`` — LTE solve + per-line alpha/gamma/Doppler;
+   * ``stage_spectrum``      — continuum opacities, windowed line-profile
+     accumulation, blackbody source, formal solution -> F_nu.
+
+The split point exists because the adaptive line-window width (a *static*
+kernel shape parameter) depends on stage-1 results; the host pulls a single
+[L] reduction between stages and chooses the window tier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stardis_tpu.opacities import continuum as cont
+from stardis_tpu.opacities.file_tables import sigma_file
+from stardis_tpu.opacities.line_kernel import (
+    accumulate_line_opacity,
+    choose_window,
+    grid_min_step,
+    line_center_indices,
+    window_pixels,
+)
+from stardis_tpu.opacities.lines import (
+    LineData,
+    compute_line_quantities,
+    prepare_line_data,
+)
+from stardis_tpu.plasma.lte import DevicePlasmaTables, device_tables, solve_lte
+from stardis_tpu.plasma.tables import PlasmaTables, build_plasma_tables
+from stardis_tpu.radiation_field.blackbody import blackbody_flux_at_nu
+from stardis_tpu.radiation_field.solver import (
+    calculate_spherical_ray,
+    gauss_legendre_thetas,
+    raytrace,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class BFSpecies:
+    cutoff_frequencies: np.ndarray  # [K] Hz
+    level_flat: np.ndarray  # [K] flat level indices
+    ion_numbers: np.ndarray  # [K]
+
+
+@dataclasses.dataclass
+class SimulationPlan:
+    tracing_nus: np.ndarray  # [N] descending Hz
+    tables: PlasmaTables
+    dtables: DevicePlasmaTables
+    temperatures: np.ndarray  # [D]
+    n_elem: np.ndarray  # [E, D]
+    microturbulence_cgs: float
+    # opacity sources
+    file_sources: list  # [(name, sigmas[D,N], SpeciesDensityPlan)]
+    bf: BFSpecies | None
+    ff_slots: np.ndarray  # [M]
+    ff_ion_numbers: np.ndarray  # [M]
+    rayleigh_species: list
+    disable_electron_scattering: bool
+    line_data: LineData | None
+    broadening_flags: tuple
+    # geometry / quadrature
+    ray_distances: np.ndarray  # [G, T]
+    weights: np.ndarray  # [T]
+    inward_rays: bool
+    photospheric_correction: float | None
+    track_individual_intensities: bool = False
+    d_nu: float = 0.0
+
+
+def build_simulation_plan(
+    config, atom_data, stellar_model, tracing_nus_hz, dtype=np.float64
+) -> SimulationPlan:
+    tracing_nus = np.sort(np.asarray(tracing_nus_hz, dtype=dtype))[::-1].copy()
+    temps = np.asarray(stellar_model.temperatures, dtype=dtype)
+    n_elem_frame = stellar_model.composition.elemental_number_density
+    tables = build_plasma_tables(atom_data, n_elem_frame.index.values)
+    dtables = device_tables(tables, dtype=jnp.dtype(dtype))
+    n_elem = n_elem_frame.values.astype(dtype)
+
+    opacity = config.opacity
+
+    # --- file opacities (host-interpolated) ---------------------------
+    file_sources = []
+    lambdas_aa = 2.99792458e18 / tracing_nus  # c in AA/s over Hz
+    for source_name, fpath in opacity.file.items():
+        sig = sigma_file(lambdas_aa, temps, fpath, source_name)
+        plan = cont.plan_species_density(source_name, tables)
+        file_sources.append((source_name, sig.astype(dtype), plan))
+
+    # --- hydrogenic bf ------------------------------------------------
+    bf = None
+    bf_cfg = opacity.bf.to_dict() if hasattr(opacity.bf, "to_dict") else dict(opacity.bf)
+    if bf_cfg:
+        cutoffs, flats, ions = [], [], []
+        h_cgs = 6.62607015e-27
+        for spec in bf_cfg:
+            plan = cont.plan_species_density(spec + "_bf", tables)
+            z, ion = plan.atomic_number, plan.ion_number
+            chi_ion = atom_data.ionization_data.loc[(z, ion + 1)]
+            for (lz, lion, lnum), flat in tables.level_flat_index.items():
+                if lz == z and lion == ion:
+                    e_level = tables.level_energy[flat]
+                    cutoffs.append((chi_ion - e_level) / h_cgs)
+                    flats.append(flat)
+                    ions.append(ion)
+        bf = BFSpecies(
+            cutoff_frequencies=np.asarray(cutoffs, dtype=dtype),
+            level_flat=np.asarray(flats, dtype=np.int64),
+            ion_numbers=np.asarray(ions, dtype=dtype),
+        )
+
+    # --- hydrogenic ff ------------------------------------------------
+    ff_cfg = opacity.ff.to_dict() if hasattr(opacity.ff, "to_dict") else dict(opacity.ff)
+    ff_slots, ff_ions = [], []
+    for spec in ff_cfg:
+        plan = cont.plan_species_density(spec + "_ff", tables)
+        ff_slots.append(plan.slot)
+        ff_ions.append(plan.ion_number)
+    ff_slots = np.asarray(ff_slots, dtype=np.int64)
+    ff_ions = np.asarray(ff_ions, dtype=dtype)
+
+    # --- lines --------------------------------------------------------
+    line_cfg = opacity.line
+    line_data = None
+    broadening_flags = tuple(line_cfg.broadening)
+    if not line_cfg.disable:
+        use_vald = line_cfg.vald_linelist.use_linelist
+        line_data = prepare_line_data(
+            atom_data,
+            tables,
+            tracing_nus.min(),
+            tracing_nus.max(),
+            use_vald=use_vald,
+            drop_autoionization=not (
+                use_vald and line_cfg.vald_linelist.use_vald_broadening
+            ),
+        )
+        logger.info("Selected %d lines in the tracing window", line_data.n_lines)
+
+    # --- geometry / quadrature ----------------------------------------
+    thetas, weights = gauss_legendre_thetas(int(config.no_of_thetas))
+    r = np.asarray(stellar_model.geometry.r, dtype=dtype)
+    if stellar_model.spherical:
+        ray_distances = calculate_spherical_ray(thetas, r)
+        inward_rays = True
+        ref_r = float(np.asarray(stellar_model.geometry.reference_r))
+        photospheric_correction = float((r[-1] / ref_r) ** 2)
+    else:
+        dist = np.diff(r)
+        ray_distances = dist[:, None] / np.cos(thetas)[None, :]
+        inward_rays = False
+        photospheric_correction = None
+
+    micro = stellar_model.microturbulence
+    micro_cgs = float(micro.cgs.value) if hasattr(micro, "cgs") else float(micro)
+    if getattr(line_cfg, "disable_microturbulence", False):
+        micro_cgs = 0.0
+
+    return SimulationPlan(
+        tracing_nus=tracing_nus,
+        tables=tables,
+        dtables=dtables,
+        temperatures=temps,
+        n_elem=n_elem,
+        microturbulence_cgs=micro_cgs,
+        file_sources=file_sources,
+        bf=bf,
+        ff_slots=ff_slots,
+        ff_ion_numbers=ff_ions,
+        rayleigh_species=list(opacity.rayleigh),
+        disable_electron_scattering=bool(opacity.disable_electron_scattering),
+        line_data=line_data,
+        broadening_flags=broadening_flags,
+        ray_distances=ray_distances.astype(dtype),
+        weights=weights.astype(dtype),
+        inward_rays=inward_rays,
+        photospheric_correction=photospheric_correction,
+        track_individual_intensities=bool(
+            config.result_options.return_radiation_field
+        ),
+        d_nu=grid_min_step(tracing_nus),
+    )
+
+
+# ----------------------------------------------------------------------
+# device stages
+# ----------------------------------------------------------------------
+
+def stage_plasma_and_lines(plan: SimulationPlan, temps, n_elem):
+    """Jittable: LTE solve + line quantities."""
+    state = solve_lte(temps, n_elem, plan.dtables)
+    if plan.line_data is None or plan.line_data.n_lines == 0:
+        return state, None
+    alpha, gamma, doppler = compute_line_quantities(
+        plan.line_data,
+        state,
+        temps,
+        plan.microturbulence_cgs,
+        plan.broadening_flags,
+        dtype=temps.dtype,
+    )
+    return state, (alpha, gamma, doppler)
+
+
+def compute_continuum(plan: SimulationPlan, state, tracing_nus):
+    """Jittable: all continuum sources -> dict of [D, N] arrays."""
+    n_nu = tracing_nus.shape[0]
+    out = {}
+    for name, sig, dplan in plan.file_sources:
+        density = cont.species_density(dplan, state, plan.tables)
+        out[f"alpha_file_{name}"] = cont.calc_alpha_file(
+            jnp.asarray(sig, dtype=density.dtype), density
+        )
+
+    if plan.bf is not None and len(plan.bf.level_flat):
+        level_densities = state.level_number_density[
+            jnp.asarray(plan.bf.level_flat)
+        ]
+        out["alpha_bf"] = cont.calc_alpha_bf_hydrogenic(
+            tracing_nus,
+            level_densities,
+            jnp.asarray(plan.bf.cutoff_frequencies, dtype=level_densities.dtype),
+            jnp.asarray(plan.bf.ion_numbers, dtype=level_densities.dtype),
+        )
+
+    if len(plan.ff_slots):
+        ion_densities = state.ion_number_density[jnp.asarray(plan.ff_slots)]
+        out["alpha_ff"] = cont.calc_alpha_ff_hydrogenic(
+            tracing_nus,
+            ion_densities,
+            jnp.asarray(plan.ff_ion_numbers, dtype=ion_densities.dtype),
+            state.electron_densities,
+            state.t,
+        )
+
+    if plan.rayleigh_species:
+        densities = {}
+        for name in plan.rayleigh_species:
+            if name == "H":
+                densities["H"] = state.ion_number_density[plan.tables.slot_of(1, 0)]
+            elif name == "He":
+                densities["He"] = state.ion_number_density[plan.tables.slot_of(2, 0)]
+            elif name == "H2":
+                densities["H2"] = state.h2_density
+        out["alpha_rayleigh"] = cont.calc_alpha_rayleigh(tracing_nus, densities)
+
+    out["alpha_electron"] = cont.calc_alpha_electron(
+        state.electron_densities, n_nu, disable=plan.disable_electron_scattering
+    )
+    return out
+
+
+def stage_spectrum(
+    plan: SimulationPlan, state, line_quants, window: int, chunk: int = 1024
+):
+    """Jittable (static: window, chunk): opacities + formal solution."""
+    tracing_nus = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
+    opacities = compute_continuum(plan, state, tracing_nus)
+
+    if line_quants is not None:
+        alpha, gamma, doppler = line_quants
+        centers = line_center_indices(plan.tracing_nus, plan.line_data.nu)
+        opacities["alpha_line_at_nu"] = accumulate_line_opacity(
+            tracing_nus,
+            jnp.asarray(plan.line_data.nu, dtype=alpha.dtype),
+            jnp.asarray(centers),
+            alpha,
+            gamma,
+            doppler,
+            window=window,
+            d_nu=plan.d_nu,
+            chunk=chunk,
+        )
+        opacities["alpha_line_at_nu_gammas"] = gamma
+        opacities["alpha_line_at_nu_doppler_widths"] = doppler
+
+    total = None
+    for key, val in opacities.items():
+        if "gammas" in key or "doppler" in key:
+            continue
+        total = val if total is None else total + val
+
+    source = blackbody_flux_at_nu(tracing_nus, state.t)
+    f_nu, i_nus = raytrace(
+        total,
+        source,
+        jnp.asarray(plan.ray_distances, dtype=total.dtype),
+        jnp.asarray(plan.weights, dtype=total.dtype),
+        inward_rays=plan.inward_rays,
+        photospheric_correction=plan.photospheric_correction,
+        track_individual_intensities=plan.track_individual_intensities,
+    )
+    return f_nu, total, opacities, i_nus
+
+
+def run_simulation(plan: SimulationPlan, chunk: int = 1024):
+    """Execute both stages with jit; returns (F_nu, totals, opacities, I_nus,
+    state, window)."""
+    temps = jnp.asarray(plan.temperatures)
+    n_elem = jnp.asarray(plan.n_elem)
+
+    stage1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
+    state, line_quants = stage1(temps, n_elem)
+
+    window = 0
+    if line_quants is not None:
+        alpha, gamma, doppler = line_quants
+        win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+        win_max = float(jnp.max(win))
+        window = choose_window(win_max, len(plan.tracing_nus))
+
+    stage2 = jax.jit(
+        lambda s, lq: stage_spectrum(plan, s, lq, window=window, chunk=chunk)
+    )
+    f_nu, total, opacities, i_nus = stage2(state, line_quants)
+    return f_nu, total, opacities, i_nus, state, window

@@ -1,0 +1,127 @@
+"""End-to-end integration tests (the analogue of reference
+tests/test_stardis_full.py + conftest fixture chain, using the built-in
+atomic dataset and a synthetic solar atmosphere instead of kurucz+sun.mod)."""
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+
+from stardis_tpu import run_stardis
+from stardis_tpu import units as u
+
+
+@pytest.fixture(scope="module")
+def test_config_path(tmp_path_factory):
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    base = tmp_path_factory.mktemp("e2e")
+    model_path = base / "sun.mod"
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_path),
+            "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "disable_electron_scattering": True,
+            "line": {"disable": False, "broadening": []},
+        },
+        "no_of_thetas": 1,
+        "result_options": {
+            "return_model": True,
+            "return_plasma": True,
+            "return_radiation_field": True,
+        },
+    }
+    path = base / "config.yml"
+    path.write_text(yaml.safe_dump(config))
+    return path
+
+
+@pytest.fixture(scope="module")
+def example_stardis_output(test_config_path, example_tracing_nus):
+    return run_stardis(test_config_path, example_tracing_nus)
+
+
+def test_spectrum_shape_and_positivity(example_stardis_output, example_tracing_nus):
+    out = example_stardis_output
+    n = len(np.asarray(example_tracing_nus))
+    assert np.asarray(out.spectrum_nu).shape == (n,)
+    assert np.asarray(out.spectrum_lambda).shape == (n,)
+    assert (np.asarray(out.spectrum_nu) > 0).all()
+    assert np.isfinite(np.asarray(out.spectrum_nu)).all()
+
+
+def test_spectrum_magnitude_solar(example_stardis_output):
+    """Emergent flux should be within a factor ~3 of pi*B_nu(Teff) at 6565 A."""
+    from stardis_tpu.constants import C_CGS, H_CGS, K_B_CGS
+
+    nu = np.asarray(example_stardis_output.nus)[0]
+    teff = 5777.0
+    b_nu = 2 * H_CGS * nu**3 / C_CGS**2 / (np.exp(H_CGS * nu / (K_B_CGS * teff)) - 1)
+    f = np.asarray(example_stardis_output.spectrum_nu)[0]
+    assert np.pi * b_nu / 3 < f < np.pi * b_nu * 3
+
+
+def test_halpha_absorption_line(example_stardis_output):
+    """The H-alpha window must show the line core darker than the wings."""
+    lam = np.asarray(example_stardis_output.lambdas)
+    flux = np.asarray(example_stardis_output.spectrum_lambda)
+    core = np.abs(lam - 6564.6) < 0.5
+    wings = np.abs(lam - 6564.6) > 3.0
+    assert flux[core].min() < 0.97 * flux[wings].max()
+
+
+def test_result_options_attached(example_stardis_output):
+    out = example_stardis_output
+    assert hasattr(out, "stellar_model")
+    assert hasattr(out, "stellar_plasma")
+    assert hasattr(out, "stellar_radiation_field")
+    rf = out.stellar_radiation_field
+    assert rf.F_nu.shape[0] == 56
+    assert "alpha_bf" in rf.opacities.opacities_dict
+    assert "alpha_ff" in rf.opacities.opacities_dict
+    assert "alpha_line_at_nu" in rf.opacities.opacities_dict
+    # electron scattering disabled -> zeros
+    assert np.all(np.asarray(rf.opacities.opacities_dict["alpha_electron"]) == 0)
+
+
+def test_config_overrides(test_config_path, example_tracing_nus):
+    out = run_stardis(
+        test_config_path,
+        example_tracing_nus,
+        add_config_dict={"opacity.line.disable": True},
+    )
+    # with lines disabled the spectrum is a smooth monotonic continuum
+    flux = np.asarray(out.spectrum_lambda)
+    assert (np.diff(flux) < 0).all() or (np.diff(flux) > 0).all()
+    assert flux.std() / flux.mean() < 0.01
+
+
+def test_broadening_configs_change_line_width(test_config_path, example_tracing_nus):
+    out_narrow = run_stardis(test_config_path, example_tracing_nus)
+    out_broad = run_stardis(
+        test_config_path,
+        example_tracing_nus,
+        add_config_dict={
+            "opacity.line.broadening": [
+                "radiation",
+                "linear_stark",
+                "quadratic_stark",
+                "van_der_waals",
+            ]
+        },
+    )
+    f_n = np.asarray(out_narrow.spectrum_lambda)
+    f_b = np.asarray(out_broad.spectrum_lambda)
+    lam = np.asarray(out_narrow.lambdas)
+    wing = np.abs(lam - 6564.6) > 2.0
+    # pressure broadening moves absorption into the wings
+    assert f_b[wing].mean() < f_n[wing].mean()

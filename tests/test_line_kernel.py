@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from stardis_tpu.opacities.line_kernel import (
+    accumulate_line_opacity,
+    accumulate_line_opacity_reference,
+    choose_window,
+    grid_min_step,
+    line_center_indices,
+)
+
+
+def _random_setup(n_lines=37, n_depth=5, n_nu=400, seed=0, strong=False):
+    rng = np.random.default_rng(seed)
+    # descending frequency grid, like the real pipeline (lambda ascending)
+    nus = np.linspace(4.6e14, 4.5e14, n_nu)
+    line_nu = rng.uniform(nus.min(), nus.max(), n_lines)
+    doppler = rng.uniform(1e9, 5e9, (n_lines, n_depth))
+    gamma = rng.uniform(1e8, 2e9, (n_lines, n_depth))
+    scale = 1e-2 if strong else 1e-12
+    alpha = rng.uniform(0.1, 1.0, (n_lines, n_depth)) * scale
+    return nus, line_nu, alpha, gamma, doppler
+
+
+@pytest.mark.parametrize("strong", [False, True])
+def test_kernel_matches_numpy_oracle(strong):
+    nus, line_nu, alpha, gamma, doppler = _random_setup(strong=strong)
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win_est = np.maximum(10, (gamma + doppler) * alpha / d_nu * 20).max()
+    window = choose_window(win_est, len(nus))
+
+    result = accumulate_line_opacity(
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+        window=window,
+        d_nu=d_nu,
+        chunk=16,
+    )
+    oracle = accumulate_line_opacity_reference(nus, line_nu, alpha, gamma, doppler)
+    np.testing.assert_allclose(np.asarray(result), oracle, rtol=5e-4, atol=1e-30)
+
+
+def test_kernel_zero_lines():
+    nus = np.linspace(4.6e14, 4.5e14, 100)
+    out = accumulate_line_opacity(
+        jnp.asarray(nus),
+        jnp.zeros(0),
+        jnp.zeros(0, dtype=int),
+        jnp.zeros((0, 4)),
+        jnp.zeros((0, 4)),
+        jnp.zeros((0, 4)),
+        window=128,
+        d_nu=grid_min_step(nus),
+    )
+    assert out.shape == (4, 100)
+    assert np.all(np.asarray(out) == 0)
+
+
+def test_kernel_chunk_invariance():
+    nus, line_nu, alpha, gamma, doppler = _random_setup(n_lines=50)
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    window = choose_window(200, len(nus))
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    r1 = accumulate_line_opacity(*args, window=window, d_nu=d_nu, chunk=7)
+    r2 = accumulate_line_opacity(*args, window=window, d_nu=d_nu, chunk=50)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12)
+
+
+def test_line_center_indices_descending_grid():
+    nus = np.array([5.0, 4.0, 3.0, 2.0, 1.0]) * 1e14
+    # a line at 3.5e14 sits between indices 1 (4e14) and 2 (3e14)
+    centers = line_center_indices(nus, np.array([3.5e14]))
+    assert centers[0] in (2,)  # reference convention: len - searchsorted
