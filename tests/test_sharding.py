@@ -1,0 +1,91 @@
+"""Sharded == unsharded equivalence — the TPU analogue of the reference's
+parallel == serial determinism test (reference tests/test_stardis_full.py:17-27)."""
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from stardis_tpu import parse_config_to_model
+from stardis_tpu import units as u
+from stardis_tpu.parallel.sharding import make_nu_mesh, shard_spectrum
+from stardis_tpu.pipeline import (
+    build_simulation_plan,
+    run_simulation,
+    stage_plasma_and_lines,
+)
+from stardis_tpu.opacities.line_kernel import choose_window, window_pixels
+
+
+@pytest.fixture(scope="module")
+def solar_plan(tmp_path_factory):
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    base = tmp_path_factory.mktemp("shard")
+    model_path = base / "sun.mod"
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_path),
+            "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "rayleigh": ["H"],
+            "disable_electron_scattering": False,
+            "line": {
+                "disable": False,
+                "broadening": ["radiation", "linear_stark"],
+            },
+        },
+        "no_of_thetas": 5,
+        "result_options": {},
+    }
+    cfg_path = base / "config.yml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    config, adata, stellar_model = parse_config_to_model(cfg_path)
+    lambdas = np.arange(6520, 6610, 0.05)  # 1800 points, not divisible by 8
+    nus = u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
+    plan = build_simulation_plan(config, adata, stellar_model, np.asarray(nus))
+    return plan
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_equals_unsharded(solar_plan, n_devices):
+    plan = solar_plan
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+
+    f_ref, *_ = run_simulation(plan)
+
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    win_max = float(jnp.max(window_pixels(*lq, plan.d_nu)))
+    window = choose_window(win_max, len(plan.tracing_nus))
+
+    mesh = make_nu_mesh(n_devices)
+    f_shard = shard_spectrum(plan, state, lq, window, mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
+
+
+def test_sharded_output_is_actually_sharded(solar_plan):
+    plan = solar_plan
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    mesh = make_nu_mesh(8)
+    f_shard = shard_spectrum(plan, state, lq, 256, mesh)
+    # the result's sharding spans all 8 devices along nu
+    assert len(f_shard.sharding.device_set) == 8
