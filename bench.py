@@ -77,8 +77,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from stardis_tpu.opacities.line_kernel import choose_window, window_pixels
-    from stardis_tpu.pipeline import stage_plasma_and_lines, stage_spectrum
+    from stardis_tpu.pipeline import (
+        line_window_tiers,
+        stage_plasma_and_lines,
+        stage_spectrum,
+    )
 
     plan = build_plan()
     n_cells = len(plan.tracing_nus) * len(plan.temperatures)
@@ -90,8 +93,8 @@ def main():
     state, lq = stage1(temps, n_elem)
     jax.block_until_ready(state.electron_densities)
 
-    win_max = float(jnp.max(window_pixels(*lq, plan.d_nu)))
-    window = choose_window(win_max, len(plan.tracing_nus))
+    window = line_window_tiers(plan, lq)
+    tier_info = {k: [(len(i), w) for i, w in v] for k, v in window.items()}
 
     stage2 = jax.jit(
         lambda s, q: stage_spectrum(plan, s, q, window=window, chunk=None)[0]
@@ -114,8 +117,8 @@ def main():
     result = {
         "metric": "sim100aa_grid_cells_per_s",
         "value": round(cells_per_s, 1),
-        "unit": "(lambda*depth) cells/s; wall %.3fs; window %d; %s"
-        % (wall, window, jax.devices()[0].device_kind),
+        "unit": "(lambda*depth) cells/s; wall %.3fs; tiers %s; %s"
+        % (wall, tier_info, jax.devices()[0].device_kind),
         "vs_baseline": round(cells_per_s / baseline_floor, 1),
     }
     print(json.dumps(result))

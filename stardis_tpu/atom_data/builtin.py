@@ -154,6 +154,7 @@ def build_builtin_atom_data(
     h_n_max: int = 20,
     he_ii_n_max: int = 8,
     include_linelists: bool = False,
+    include_molecules: bool = False,
 ) -> AtomData:
     """Generate the built-in atomic dataset.
 
@@ -282,10 +283,67 @@ def build_builtin_atom_data(
             }
         )
 
+    molecule_data = build_demo_molecule_data() if include_molecules else None
+
     return AtomData(
         atom_data,
         ionization_data,
         levels,
         lines,
         linelist_atoms=linelist_atoms,
+        molecule_data=molecule_data,
     )
+
+
+def build_demo_molecule_data():
+    """Statistical-mechanics-derived H2 and CO tables in the Barklem &
+    Collet 2016 storage convention (log10 of the pressure equilibrium
+    constant in Pa vs T; partition functions vs T; dissociation energies
+    with constituent symbols).
+
+    K_n = (2 pi mu k T / h^2)^{3/2} (U_A U_B / U_AB) exp(-D0/kT), converted
+    to K_p = K_n k T.  Rigid-rotor U_AB = kT / (sigma B).  Approximate
+    (few-percent-level) — real B&C tables can be loaded from HDF; this makes
+    the molecular code path exercisable without external data.
+    """
+    from stardis_tpu.constants import C_CGS as _C, H_CGS, K_B_CGS
+
+    temps = np.array(
+        [1500.0, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0, 8000.0, 10000.0,
+         15000.0, 20000.0]
+    )
+
+    def tables_for(mu_amu, d0_ev, u_a, u_b, b_rot_ev, sigma):
+        mu = mu_amu * AMU_CGS
+        lam = (2 * np.pi * mu * K_B_CGS * temps / H_CGS**2) ** 1.5
+        u_rot = K_B_CGS * temps / (sigma * b_rot_ev * EV_TO_ERG)
+        k_n = lam * (u_a * u_b / u_rot) * np.exp(
+            -d0_ev * EV_TO_ERG / (K_B_CGS * temps)
+        )
+        k_p_pa = k_n * K_B_CGS * temps / 10.0  # dyn/cm^2 -> Pa
+        return np.log10(k_p_pa), u_rot
+
+    log_kp_h2, u_h2 = tables_for(0.504, 4.478, 2.0, 2.0, 7.54e-3, 2)
+    log_kp_co, u_co = tables_for(6.860, 11.092, 9.0, 9.0, 2.39e-4, 1)
+
+    eq = pd.DataFrame(
+        [log_kp_h2, log_kp_co],
+        index=pd.Index(["H2", "CO"], name="molecule"),
+        columns=temps,
+    )
+    pf = pd.DataFrame(
+        [u_h2, u_co],
+        index=pd.Index(["H2", "CO"], name="molecule"),
+        columns=temps,
+    )
+    de = pd.DataFrame(
+        {
+            "Ion1": ["H", "C"],
+            "Ion2": ["H", "O"],
+            "dissociation_energy": [4.478, 11.092],
+        },
+        index=pd.Index(["H2", "CO"], name="molecule"),
+    )
+    from stardis_tpu.atom_data.base import MoleculeData
+
+    return MoleculeData(eq, pf, de)

@@ -35,7 +35,11 @@ def _load_atom_data(spec: str) -> AtomData:
         z_max = 30
         if ":" in spec:
             z_max = int(spec.split(":", 1)[1])
-        return build_builtin_atom_data(max_atomic_number=z_max)
+        return build_builtin_atom_data(
+            max_atomic_number=z_max,
+            include_linelists=True,
+            include_molecules=True,
+        )
     return AtomData.from_hdf(spec)
 
 

@@ -56,6 +56,37 @@ def window_pixels(alpha, gamma, doppler, d_nu):
     return jnp.maximum(float(MIN_WINDOW_PIXELS), win)
 
 
+TIER_WINDOWS = (128, 512, 2048, 8192)
+
+
+def assign_window_tiers(win_pix_per_line, n_nu):
+    """Host-side: bucket lines into window tiers by their (depth-max)
+    adaptive half-window.
+
+    Returns a list of (line_indices int64 array, full_window int).  The
+    grid-covering tier uses the full padded grid width.  This converts the
+    accumulation cost from n_lines * max_window to sum_k n_k * W_k — the
+    strong-line tail (e.g. H-alpha, whose window spans the whole grid) no
+    longer sets the cost of the 10^5-line bulk.
+    """
+    win = np.asarray(win_pix_per_line)
+    full = int(np.ceil(2 * n_nu / 128.0) * 128)
+    tiers = []
+    assigned = np.zeros(len(win), dtype=bool)
+    for w in TIER_WINDOWS:
+        if w >= full:
+            break
+        sel = (~assigned) & (2 * np.ceil(win) <= w)
+        idx = np.nonzero(sel)[0]
+        if len(idx):
+            tiers.append((idx.astype(np.int64), int(w)))
+        assigned |= sel
+    rest = np.nonzero(~assigned)[0]
+    if len(rest):
+        tiers.append((rest.astype(np.int64), full))
+    return tiers
+
+
 def choose_window(win_pix_max, n_nu):
     """Static full-window width from the largest half-window (host-side)."""
     half = int(min(np.ceil(win_pix_max), n_nu))
@@ -150,6 +181,38 @@ def accumulate_line_opacity(
     ).astype(dtype)
     acc, _ = jax.lax.scan(chunk_body, acc0, chunks)
     return acc.T  # [D, N]
+
+
+def accumulate_line_opacity_tiered(
+    tracing_nus_desc,
+    line_nu,
+    center_idx,
+    alpha,
+    gamma,
+    doppler,
+    tiers,  # list of (host int64 index array, window int)
+    d_nu: float,
+    chunk: int | None = None,
+):
+    """Tiered accumulation: each tier's line subset runs the windowed kernel
+    at its own (static) window width; results sum exactly."""
+    n_nu = tracing_nus_desc.shape[0]
+    n_depth = alpha.shape[1]
+    out = jnp.zeros((n_depth, n_nu), dtype=alpha.dtype)
+    for idx, w in tiers:
+        idx_dev = jnp.asarray(idx)
+        out = out + accumulate_line_opacity(
+            tracing_nus_desc,
+            line_nu[idx_dev],
+            center_idx[idx_dev],
+            alpha[idx_dev],
+            gamma[idx_dev],
+            doppler[idx_dev],
+            window=int(w),
+            d_nu=d_nu,
+            chunk=chunk,
+        )
+    return out
 
 
 def accumulate_line_opacity_reference(

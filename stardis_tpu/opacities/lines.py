@@ -179,6 +179,69 @@ def prepare_line_data(
     )
 
 
+def compute_vald_gamma(
+    line_data: LineData,
+    state,
+    temperatures,
+    broadening_flags,
+    dtype=None,
+):
+    """VALD-parameter broadening (reference broadening.py:1009-1085):
+    radiation from A_ul, stark/vdW from the per-line VALD columns (linear
+    Stark still computed for hydrogen lines), summed then halved
+    (HWHM -> FWHM, reference broadening.py:1084)."""
+    from stardis_tpu.opacities.broadening import (
+        calc_gamma_linear_stark,
+        calc_n_effective,
+        calc_vald_stark_gamma,
+        calc_vald_vdW,
+    )
+
+    ld = line_data
+    t = temperatures
+    n_e = state.electron_densities
+    h1_density = state.ion_number_density[0]
+    n_lines = ld.n_lines
+    n_depth = t.shape[0]
+
+    gamma = jnp.zeros((n_lines, n_depth), dtype=dtype or t.dtype)
+    if "radiation" in broadening_flags:
+        gamma = gamma + jnp.asarray(ld.A_ul, dtype=dtype)[:, None]
+    if "linear_stark" in broadening_flags:
+        ion_p1 = jnp.asarray(ld.ion_number, dtype=gamma.dtype)[:, None] + 1.0
+        chi = jnp.asarray(ld.ionization_energy, dtype=dtype)[:, None]
+        n_eff_up = calc_n_effective(
+            ion_p1, chi, jnp.asarray(ld.level_energy_upper, dtype=dtype)[:, None]
+        )
+        n_eff_lo = calc_n_effective(
+            ion_p1, chi, jnp.asarray(ld.level_energy_lower, dtype=dtype)[:, None]
+        )
+        g_lin = calc_gamma_linear_stark(n_eff_up, n_eff_lo, n_e[None, :])
+        h_mask = jnp.asarray(ld.atomic_number == 1)[:, None]
+        gamma = gamma + jnp.where(h_mask, g_lin, 0.0)
+    if (
+        "quadratic_stark" in broadening_flags
+        and ld.vald_stark is not None
+    ):
+        gamma = gamma + calc_vald_stark_gamma(
+            n_e[None, :],
+            jnp.asarray(ld.vald_stark, dtype=dtype)[:, None],
+            t[None, :],
+        )
+    if "van_der_waals" in broadening_flags and ld.vald_waals is not None:
+        gamma = gamma + calc_vald_vdW(
+            jnp.asarray(ld.vald_waals, dtype=dtype)[:, None],
+            t,
+            jnp.asarray(ld.mass, dtype=dtype)[:, None],
+            jnp.asarray(ld.level_energy_upper, dtype=dtype)[:, None],
+            jnp.asarray(ld.level_energy_lower, dtype=dtype)[:, None],
+            h1_density,
+            jnp.asarray(ld.ion_number, dtype=gamma.dtype)[:, None] + 1.0,
+            jnp.asarray(ld.ionization_energy, dtype=dtype)[:, None],
+        )
+    return gamma / 2.0  # HWHM to FWHM (reference broadening.py:1084)
+
+
 def compute_line_quantities(
     line_data: LineData,
     state,
@@ -186,6 +249,7 @@ def compute_line_quantities(
     microturbulence_cgs,
     broadening_flags,
     dtype=None,
+    use_vald_broadening=False,
 ):
     """Device-side per-line per-depth quantities.
 
@@ -229,6 +293,15 @@ def compute_line_quantities(
         )
 
     h1_density = state.ion_number_density[0]  # H sorts first: slot (1, 0)
+    if use_vald_broadening:
+        gamma = compute_vald_gamma(
+            ld, state, t, broadening_flags, dtype=dtype
+        )
+        doppler = calc_doppler_width(
+            nu, t[None, :], jnp.asarray(ld.mass, dtype=dtype)[:, None],
+            microturbulence_cgs,
+        )
+        return alpha, gamma, doppler
     gamma = calc_gamma(
         atomic_number=jnp.asarray(ld.atomic_number)[:, None],
         ion_number=jnp.asarray(ld.ion_number, dtype=alpha.dtype)[:, None] + 1.0,

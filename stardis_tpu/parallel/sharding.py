@@ -81,12 +81,20 @@ def shard_spectrum(
             ],
         )
 
-    if line_quants is not None:
-        centers = line_center_indices(nus_padded, plan.line_data.nu)
-        line_nu_dev = jnp.asarray(plan.line_data.nu, dtype=dtype)
-        centers_dev = jnp.asarray(centers)
-    else:
-        line_nu_dev = centers_dev = None
+    line_sets = {}
+    if line_quants:
+        if "atomic" in line_quants:
+            line_sets["atomic"] = (
+                jnp.asarray(plan.line_data.nu, dtype=dtype),
+                jnp.asarray(line_center_indices(nus_padded, plan.line_data.nu)),
+            )
+        if "molecular" in line_quants:
+            line_sets["molecular"] = (
+                jnp.asarray(plan.molecule_line_data.nu, dtype=dtype),
+                jnp.asarray(
+                    line_center_indices(nus_padded, plan.molecule_line_data.nu)
+                ),
+            )
 
     nu_full = jnp.asarray(nus_padded, dtype=dtype)
 
@@ -103,13 +111,12 @@ def shard_spectrum(
         for key, val in opac.items():
             total = val if total is None else total + val
 
-        if lq_rep is not None:
-            alpha, gamma, doppler = lq_rep
-            local_centers = centers_dev - offset
+        for key, (alpha, gamma, doppler) in (lq_rep or {}).items():
+            line_nu_dev, centers_dev = line_sets[key]
             alpha_line = accumulate_line_opacity(
                 nus_local,
                 line_nu_dev,
-                local_centers,
+                centers_dev - offset,
                 alpha,
                 gamma,
                 doppler,

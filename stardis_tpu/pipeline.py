@@ -29,6 +29,8 @@ from stardis_tpu.opacities import continuum as cont
 from stardis_tpu.opacities.file_tables import sigma_file
 from stardis_tpu.opacities.line_kernel import (
     accumulate_line_opacity,
+    accumulate_line_opacity_tiered,
+    assign_window_tiers,
     choose_window,
     grid_min_step,
     line_center_indices,
@@ -76,6 +78,7 @@ class SimulationPlan:
     disable_electron_scattering: bool
     line_data: LineData | None
     broadening_flags: tuple
+    use_vald_broadening: bool
     # geometry / quadrature
     ray_distances: np.ndarray  # [G, T]
     weights: np.ndarray  # [T]
@@ -83,6 +86,8 @@ class SimulationPlan:
     photospheric_correction: float | None
     track_individual_intensities: bool = False
     d_nu: float = 0.0
+    molecule_tables: object | None = None  # plasma.molecules.MoleculeTables
+    molecule_line_data: object | None = None  # plasma.molecules.MoleculeLineData
 
 
 def build_simulation_plan(
@@ -142,6 +147,7 @@ def build_simulation_plan(
     line_cfg = opacity.line
     line_data = None
     broadening_flags = tuple(line_cfg.broadening)
+    use_vald = False
     if not line_cfg.disable:
         use_vald = line_cfg.vald_linelist.use_linelist
         line_data = prepare_line_data(
@@ -155,6 +161,28 @@ def build_simulation_plan(
             ),
         )
         logger.info("Selected %d lines in the tracing window", line_data.n_lines)
+
+    # --- molecules ----------------------------------------------------
+    molecule_tables = None
+    molecule_line_data = None
+    if not line_cfg.disable and line_cfg.include_molecules:
+        from stardis_tpu.plasma.molecules import (
+            build_molecule_tables,
+            prepare_molecule_line_data,
+        )
+
+        molecule_tables = build_molecule_tables(atom_data, tables, temps)
+        if use_vald and atom_data.linelist_molecules is not None:
+            molecule_line_data = prepare_molecule_line_data(
+                atom_data,
+                molecule_tables,
+                tracing_nus.min(),
+                tracing_nus.max(),
+                shortlist=line_cfg.vald_linelist.shortlist,
+            )
+            logger.info(
+                "Selected %d molecular lines", molecule_line_data.n_lines
+            )
 
     # --- geometry / quadrature ----------------------------------------
     thetas, weights = gauss_legendre_thetas(int(config.no_of_thetas))
@@ -190,6 +218,9 @@ def build_simulation_plan(
         disable_electron_scattering=bool(opacity.disable_electron_scattering),
         line_data=line_data,
         broadening_flags=broadening_flags,
+        use_vald_broadening=bool(
+            use_vald and line_cfg.vald_linelist.use_vald_broadening
+        ) if not line_cfg.disable else False,
         ray_distances=ray_distances.astype(dtype),
         weights=weights.astype(dtype),
         inward_rays=inward_rays,
@@ -198,6 +229,8 @@ def build_simulation_plan(
             config.result_options.return_radiation_field
         ),
         d_nu=grid_min_step(tracing_nus),
+        molecule_tables=molecule_tables,
+        molecule_line_data=molecule_line_data,
     )
 
 
@@ -206,19 +239,68 @@ def build_simulation_plan(
 # ----------------------------------------------------------------------
 
 def stage_plasma_and_lines(plan: SimulationPlan, temps, n_elem):
-    """Jittable: LTE solve + line quantities."""
+    """Jittable: LTE solve + per-line quantities.
+
+    Returns (state, quants) where quants maps "atomic" / "molecular" to
+    (alpha, gamma, doppler) triples, or None when no lines are configured.
+    """
     state = solve_lte(temps, n_elem, plan.dtables)
-    if plan.line_data is None or plan.line_data.n_lines == 0:
-        return state, None
-    alpha, gamma, doppler = compute_line_quantities(
-        plan.line_data,
-        state,
-        temps,
-        plan.microturbulence_cgs,
-        plan.broadening_flags,
-        dtype=temps.dtype,
-    )
-    return state, (alpha, gamma, doppler)
+    quants = {}
+    if plan.line_data is not None and plan.line_data.n_lines > 0:
+        quants["atomic"] = compute_line_quantities(
+            plan.line_data,
+            state,
+            temps,
+            plan.microturbulence_cgs,
+            plan.broadening_flags,
+            dtype=temps.dtype,
+            use_vald_broadening=plan.use_vald_broadening,
+        )
+    if (
+        plan.molecule_line_data is not None
+        and plan.molecule_line_data.n_lines > 0
+    ):
+        from stardis_tpu.plasma.molecules import (
+            compute_molecule_line_quantities,
+        )
+
+        quants["molecular"] = compute_molecule_line_quantities(
+            plan.molecule_line_data,
+            plan.molecule_tables,
+            state,
+            temps,
+            plan.microturbulence_cgs,
+            plan.broadening_flags,
+            dtype=temps.dtype,
+        )
+    return state, (quants or None)
+
+
+def line_window_tiers(plan, line_quants):
+    """Host-side: pull each line's depth-max adaptive window and bucket the
+    line sets into window tiers (one small device->host transfer of [L])."""
+    import jax.numpy as _jnp
+
+    if not line_quants:
+        return 0
+    n_nu = len(plan.tracing_nus)
+    tiers = {}
+    for key, (alpha, gamma, doppler) in line_quants.items():
+        win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+        win_per_line = np.asarray(_jnp.max(win, axis=1))
+        tiers[key] = assign_window_tiers(win_per_line, n_nu)
+    return tiers
+
+
+def max_window_pixels(quants, d_nu):
+    """Host-pullable scalar: the largest adaptive window over all line sets."""
+    import jax.numpy as _jnp
+
+    win = 0.0
+    for triple in (quants or {}).values():
+        alpha, gamma, doppler = triple
+        win = max(win, float(_jnp.max(window_pixels(alpha, gamma, doppler, d_nu))))
+    return win
 
 
 def compute_continuum(plan: SimulationPlan, state, tracing_nus, nu_offset=None):
@@ -284,22 +366,38 @@ def stage_spectrum(
     tracing_nus = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
     opacities = compute_continuum(plan, state, tracing_nus)
 
-    if line_quants is not None:
-        alpha, gamma, doppler = line_quants
-        centers = line_center_indices(plan.tracing_nus, plan.line_data.nu)
-        opacities["alpha_line_at_nu"] = accumulate_line_opacity(
-            tracing_nus,
-            jnp.asarray(plan.line_data.nu, dtype=alpha.dtype),
-            jnp.asarray(centers),
-            alpha,
-            gamma,
-            doppler,
-            window=window,
-            d_nu=plan.d_nu,
-            chunk=chunk,
+    line_quants = line_quants or {}
+
+    def accumulate(key, line_nus_host, triple):
+        alpha, gamma, doppler = triple
+        centers = line_center_indices(plan.tracing_nus, line_nus_host)
+        line_nu_dev = jnp.asarray(line_nus_host, dtype=alpha.dtype)
+        centers_dev = jnp.asarray(centers)
+        spec = window[key] if isinstance(window, dict) else window
+        if isinstance(spec, (list, tuple)):
+            return accumulate_line_opacity_tiered(
+                tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
+                tiers=spec, d_nu=plan.d_nu, chunk=chunk,
+            )
+        return accumulate_line_opacity(
+            tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
+            window=int(spec), d_nu=plan.d_nu, chunk=chunk,
+        )
+
+    if "atomic" in line_quants:
+        alpha, gamma, doppler = line_quants["atomic"]
+        opacities["alpha_line_at_nu"] = accumulate(
+            "atomic", plan.line_data.nu, line_quants["atomic"]
         )
         opacities["alpha_line_at_nu_gammas"] = gamma
         opacities["alpha_line_at_nu_doppler_widths"] = doppler
+    if "molecular" in line_quants:
+        m_alpha, m_gamma, m_doppler = line_quants["molecular"]
+        opacities["molecule_alpha_line_at_nu"] = accumulate(
+            "molecular", plan.molecule_line_data.nu, line_quants["molecular"]
+        )
+        opacities["molecule_alpha_line_at_nu_gammas"] = m_gamma
+        opacities["molecule_alpha_line_at_nu_doppler_widths"] = m_doppler
 
     total = None
     for key, val in opacities.items():
@@ -329,12 +427,7 @@ def run_simulation(plan: SimulationPlan, chunk: int = 1024):
     stage1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
     state, line_quants = stage1(temps, n_elem)
 
-    window = 0
-    if line_quants is not None:
-        alpha, gamma, doppler = line_quants
-        win = window_pixels(alpha, gamma, doppler, plan.d_nu)
-        win_max = float(jnp.max(win))
-        window = choose_window(win_max, len(plan.tracing_nus))
+    window = line_window_tiers(plan, line_quants)
 
     stage2 = jax.jit(
         lambda s, lq: stage_spectrum(plan, s, lq, window=window, chunk=chunk)

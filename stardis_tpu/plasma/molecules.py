@@ -1,0 +1,289 @@
+"""Diatomic molecular chemistry (Barklem & Collet 2016 data).
+
+Re-implements reference stardis/plasma/molecules.py TPU-first:
+
+* the K(T) cubic-spline and U_mol(T) linear interpolations depend only on
+  the (host-known, static) model temperatures, so they are evaluated on host
+  at plan-build time (SciPy), producing dense [molecule, depth] tables;
+* the equilibrium number-density solve (closed-form quadratics for
+  homonuclear vs heteronuclear pairs, reference molecules.py:106-127) and
+  the molecular line alphas run on device from the plasma state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import re
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from stardis_tpu.constants import (
+    ALPHA_COEFFICIENT,
+    C_CGS,
+    EV_TO_ERG,
+    H_CGS,
+    K_B_CGS,
+)
+from stardis_tpu.util.species import element_symbol2atomic_number
+
+logger = logging.getLogger(__name__)
+
+# ideal-gas conversion: K_n [cm^-3] = 10^K_p * Pa / (k_B T)
+# (reference molecules.py:97-103; 1 Pa = 10 dyn/cm^2)
+PA_TO_CGS = 10.0
+
+
+def parse_molecular_ion(symbol: str):
+    """'H2+' style constituent symbol -> (atomic_number, charge)."""
+    m = re.match(r"([A-Z][a-z]?)(\+*)(\-*)$", symbol.strip())
+    if not m:
+        raise ValueError(f"cannot parse molecular constituent {symbol!r}")
+    z = element_symbol2atomic_number(m.group(1))
+    charge = len(m.group(2)) - len(m.group(3))
+    return z, charge
+
+
+@dataclasses.dataclass
+class MoleculeTables:
+    """Host-prepared molecular data for a fixed temperature grid."""
+
+    names: list  # [M]
+    ion1_slot: np.ndarray  # [M]
+    ion2_slot: np.ndarray  # [M]
+    homonuclear: np.ndarray  # [M] bool
+    k_density: np.ndarray  # [M, D] number-density equilibrium constant
+    partition_function: np.ndarray  # [M, D]
+    mass: np.ndarray  # [M] g (sum of constituent masses)
+    included: np.ndarray  # [M] bool (False -> zero density)
+
+    @property
+    def n_molecules(self):
+        return len(self.names)
+
+    def index_of(self, name):
+        return self.names.index(name)
+
+
+def build_molecule_tables(atom_data, tables, temperatures) -> MoleculeTables:
+    """Interpolate B&C2016 K(T) and U(T) onto the model temperature grid."""
+    from scipy.interpolate import CubicSpline
+
+    md = atom_data.molecule_data
+    if md is None:
+        raise ValueError(
+            "No molecular data in atomic data. Provide Barklem & Collet 2016 "
+            "tables (equilibrium constants, partition functions, "
+            "dissociation energies)."
+        )
+    temps = np.asarray(temperatures, dtype=float)
+    eq = md.equilibrium_constants
+    sample_temps = eq.columns.values.astype(float)
+
+    names, i1, i2, homo, kk, uu, mass, included = [], [], [], [], [], [], [], []
+    masses_by_z = atom_data.atom_data.mass
+
+    for molecule in eq.index:
+        row = md.dissociation_energies.loc[molecule]
+        names.append(molecule)
+        ok = True
+        z1 = c1 = z2 = c2 = 0
+        try:
+            z1, c1 = parse_molecular_ion(row.Ion1)
+            z2, c2 = parse_molecular_ion(row.Ion2)
+        except ValueError:
+            ok = False
+        if ok and (c1 == -1 or c2 == -1):
+            logger.warning(
+                "Negative ionic molecules not supported. Assuming no %s.",
+                molecule,
+            )
+            ok = False
+        slot1 = slot2 = 0
+        if ok:
+            try:
+                slot1 = tables.slot_of(z1, c1)
+                slot2 = tables.slot_of(z2, c2)
+            except KeyError:
+                logger.warning(
+                    "Constituents of %s not in included elements; assuming "
+                    "no %s.", molecule, molecule,
+                )
+                ok = False
+
+        spline = CubicSpline(
+            sample_temps, eq.loc[molecule].values, extrapolate=True
+        )
+        log_kp = spline(temps)
+        k_n = (10.0**log_kp) * PA_TO_CGS / (K_B_CGS * temps)
+
+        u_mol = np.interp(
+            temps,
+            md.partition_functions.columns.values.astype(float),
+            md.partition_functions.loc[molecule].values,
+        )
+
+        i1.append(slot1)
+        i2.append(slot2)
+        homo.append(ok and (z1 == z2 and c1 == c2))
+        kk.append(k_n)
+        uu.append(u_mol)
+        m1 = masses_by_z.loc[z1] if ok else 0.0
+        m2 = masses_by_z.loc[z2] if ok else 0.0
+        mass.append(m1 + m2)
+        included.append(ok)
+
+    return MoleculeTables(
+        names=names,
+        ion1_slot=np.asarray(i1, dtype=np.int64),
+        ion2_slot=np.asarray(i2, dtype=np.int64),
+        homonuclear=np.asarray(homo, dtype=bool),
+        k_density=np.asarray(kk),
+        partition_function=np.asarray(uu),
+        mass=np.asarray(mass),
+        included=np.asarray(included, dtype=bool),
+    )
+
+
+def molecule_number_density(mt: MoleculeTables, state, dtype=None):
+    """[M, D] molecular number densities (reference molecules.py:106-127).
+
+    Homonuclear AA: 2 n_AA + n_A = N_A  with n_A^2 = k n_AA
+      -> n_AA = (1/8)(k + 4 N - sqrt(k (k + 8 N)))
+    Heteronuclear AB: n_A n_B = k n_AB with conservation
+      -> n_AB = 0.5 (k + N_A + N_B - sqrt(k^2 + 2k(N_A+N_B) + (N_A-N_B)^2))
+    """
+    n1 = state.ion_number_density[jnp.asarray(mt.ion1_slot)]  # [M, D]
+    n2 = state.ion_number_density[jnp.asarray(mt.ion2_slot)]
+    k = jnp.asarray(mt.k_density, dtype=dtype or n1.dtype)
+    homo = jnp.asarray(mt.homonuclear)[:, None]
+    included = jnp.asarray(mt.included)[:, None]
+
+    n_homo = 0.125 * (-jnp.sqrt(k * (k + 8.0 * n1)) + k + 4.0 * n1)
+    disc = k**2 + 2.0 * k * (n1 + n2) + (n1 - n2) ** 2
+    n_hetero = 0.5 * (-jnp.sqrt(disc) + k + n1 + n2)
+
+    n_mol = jnp.where(homo, n_homo, n_hetero)
+    n_mol = jnp.maximum(n_mol, 0.0)
+    return jnp.where(included, n_mol, 0.0)
+
+
+@dataclasses.dataclass
+class MoleculeLineData:
+    """Host-prepared molecular lines in the tracing window (VALD-style)."""
+
+    nu: np.ndarray  # [L]
+    molecule_index: np.ndarray  # [L] row into MoleculeTables
+    gf: np.ndarray  # [L] 10^log_gf
+    e_low_erg: np.ndarray  # [L]
+    e_up_erg: np.ndarray  # [L]
+    A_ul: np.ndarray  # [L]
+    stark: np.ndarray  # [L]
+    waals: np.ndarray  # [L]
+    mass: np.ndarray  # [L] molecule mass [g]
+
+    @property
+    def n_lines(self):
+        return len(self.nu)
+
+
+def prepare_molecule_line_data(
+    atom_data, mt: MoleculeTables, nu_min, nu_max, shortlist=False
+) -> MoleculeLineData:
+    ll = atom_data.linelist_molecules
+    if ll is None:
+        raise ValueError("atom data has no linelist_molecules")
+    ll = ll.copy()
+    nu = C_CGS / (ll.wavelength.values * 1e-8)
+    ll["nu"] = nu
+    if "e_up" not in ll.columns:
+        ll["e_up"] = ll.e_low.values + (
+            H_CGS * C_CGS / (ll.wavelength.values * 1e-8)
+        ) / EV_TO_ERG
+    ll = ll.sort_values("nu")
+    ll = ll[(ll.nu >= nu_min) & (ll.nu <= nu_max)]
+
+    mol_index = np.array(
+        [mt.index_of(m) for m in ll.molecule.values], dtype=np.int64
+    )
+    return MoleculeLineData(
+        nu=ll.nu.values.astype(float),
+        molecule_index=mol_index,
+        gf=(10.0 ** ll.log_gf.values).astype(float),
+        e_low_erg=(ll.e_low.values * EV_TO_ERG).astype(float),
+        e_up_erg=(ll.e_up.values * EV_TO_ERG).astype(float),
+        A_ul=(10.0 ** ll.rad.values).astype(float),
+        stark=ll.stark.values.astype(float),
+        waals=ll.waals.values.astype(float),
+        mass=mt.mass[mol_index],
+    )
+
+
+def compute_molecule_line_quantities(
+    mld: MoleculeLineData,
+    mt: MoleculeTables,
+    state,
+    temperatures,
+    microturbulence_cgs,
+    broadening_flags,
+    dtype=None,
+):
+    """(alpha, gamma, doppler) [L, D] for molecular lines.
+
+    alpha follows AlphaLineValdMolecule (reference molecules.py:192-319);
+    gamma follows calculate_molecule_broadening with VALD parameters
+    (reference broadening.py:735-821); Doppler widths use the molecule mass
+    (sum of constituent masses, broadening.py:808-819).
+    """
+    from stardis_tpu.opacities.broadening import (
+        calc_doppler_width,
+        calc_vald_stark_gamma,
+    )
+
+    t = temperatures
+    n_mol = molecule_number_density(mt, state, dtype=dtype)  # [M, D]
+    u_mol = jnp.asarray(mt.partition_function, dtype=dtype)
+    n_over_u = n_mol / u_mol  # [M, D]
+
+    idx = jnp.asarray(mld.molecule_index)
+    nu = jnp.asarray(mld.nu, dtype=dtype)[:, None]
+    boltz = jnp.exp(
+        -jnp.asarray(mld.e_low_erg, dtype=dtype)[:, None] * state.beta[None, :]
+    )
+    stim = 1.0 - jnp.exp(-H_CGS * nu / (K_B_CGS * t[None, :]))
+    alpha = (
+        ALPHA_COEFFICIENT
+        * jnp.asarray(mld.gf, dtype=dtype)[:, None]
+        * n_over_u[idx]
+        * boltz
+        * stim
+    )
+
+    gamma = jnp.zeros_like(alpha)
+    if "radiation" in broadening_flags:
+        gamma = gamma + jnp.asarray(mld.A_ul, dtype=dtype)[:, None]
+    if (
+        "linear_stark" in broadening_flags
+        or "quadratic_stark" in broadening_flags
+    ):
+        gamma = gamma + calc_vald_stark_gamma(
+            state.electron_densities[None, :],
+            jnp.asarray(mld.stark, dtype=dtype)[:, None],
+            t[None, :],
+        )
+    # van-der-Waals for molecules needs the Unsoeld path's n_eff, which is
+    # undefined for molecular levels; like the reference we only apply the
+    # scaled 10^vdW law when the packed parameter is negative
+    if "van_der_waals" in broadening_flags:
+        vdw = jnp.asarray(mld.waals, dtype=dtype)[:, None]
+        h1 = state.ion_number_density[0]
+        scaled = 10.0**vdw * (t[None, :] / 1e4) ** 0.38 * h1[None, :]
+        gamma = gamma + jnp.where(vdw < 0, scaled, 0.0)
+
+    doppler = calc_doppler_width(
+        nu, t[None, :], jnp.asarray(mld.mass, dtype=dtype)[:, None],
+        microturbulence_cgs,
+    )
+    return alpha, gamma, doppler

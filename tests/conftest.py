@@ -27,6 +27,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--generate-reference",
+        action="store_true",
+        default=False,
+        help="regenerate golden regression data instead of comparing",
+    )
+    parser.addoption(
+        "--stardis-regression-data",
+        default=None,
+        help="path to an external regression-data directory",
+    )
+
+
 @pytest.fixture(scope="session")
 def builtin_atom_data():
     from stardis_tpu.atom_data import build_builtin_atom_data

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from stardis_tpu import units as u
+from stardis_tpu.postprocessing import instrumental_broadening, rotation_broadening
+
+
+def _delta_spectrum(n=401, spike=200):
+    lam = np.linspace(6500.0, 6540.0, n)
+    flux = np.ones(n)
+    flux[spike] = 2.0
+    return lam, flux
+
+
+def test_rotation_broadening_conserves_flux():
+    lam, flux = _delta_spectrum()
+    vel_pix = u.Quantity(4.566, u.km / u.s)  # 0.1 AA at 6565 AA
+    _, broadened = rotation_broadening(
+        vel_pix, u.Quantity(lam, u.AA), flux, v_rot=u.Quantity(50.0, u.km / u.s)
+    )
+    b = np.asarray(broadened)
+    # kernel is normalized: total flux preserved
+    assert np.isclose(b.sum(), flux.sum(), rtol=1e-6)
+    # spike spread out
+    assert b[200] < 2.0
+    assert b[195] > 1.0
+
+
+def test_rotation_broadening_zero_vrot_identity():
+    lam, flux = _delta_spectrum()
+    w, b = rotation_broadening(
+        u.Quantity(4.5, u.km / u.s), u.Quantity(lam, u.AA), flux,
+        v_rot=u.Quantity(0.0, u.km / u.s),
+    )
+    np.testing.assert_allclose(np.asarray(b), flux)
+
+
+def test_rotation_profile_shape_limb_darkening():
+    """With limb darkening 0 the kernel is the classic semi-ellipse: flat-ish
+    center dropping to zero at +-v_rot."""
+    lam, flux = _delta_spectrum()
+    vel_pix = u.Quantity(5.0, u.km / u.s)
+    _, b0 = rotation_broadening(
+        vel_pix, u.Quantity(lam, u.AA), flux,
+        v_rot=u.Quantity(40.0, u.km / u.s), limb_darkening=0.0,
+    )
+    _, b6 = rotation_broadening(
+        vel_pix, u.Quantity(lam, u.AA), flux,
+        v_rot=u.Quantity(40.0, u.km / u.s), limb_darkening=0.6,
+    )
+    # limb-darkened kernel is more centrally peaked
+    assert np.asarray(b6)[200] > np.asarray(b0)[200]
+
+
+def test_instrumental_broadening():
+    lam, flux = _delta_spectrum()
+    _, b = instrumental_broadening(lam, flux, resolution=20000)
+    bb = np.asarray(b)
+    assert np.isclose(bb.sum(), flux.sum(), rtol=1e-3)
+    assert bb[200] < 2.0
+    with pytest.raises(ValueError):
+        instrumental_broadening(lam**2, flux, resolution=1000)
+    with pytest.raises(ValueError):
+        instrumental_broadening(lam, flux)
+
+
+def test_output_to_hdf(tmp_path, example_tracing_nus):
+    import h5py
+    import yaml
+
+    from stardis_tpu import run_stardis
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.util.hdf import output_to_hdf
+
+    model_path = tmp_path / "sun.mod"
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_path),
+            "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "line": {"disable": False, "broadening": []},
+        },
+        "no_of_thetas": 2,
+        "result_options": {"return_model": True, "return_plasma": True,
+                           "return_radiation_field": True},
+    }
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    out = run_stardis(cfg, example_tracing_nus)
+    path = output_to_hdf(out, tmp_path / "out.h5")
+    with h5py.File(path) as f:
+        assert f.attrs["format"] == "stardis_tpu_output_v1"
+        spec = f["spectrum/spectrum_nu"][:]
+        np.testing.assert_allclose(spec, np.asarray(out.spectrum_nu))
+        assert "stellar_model/temperatures" in f
+        assert "stellar_plasma/electron_densities" in f
+        assert "radiation_field/F_nu" in f
+        assert "radiation_field/opacities/alpha_bf" in f
+
+
+def test_regression_roundtrip(tmp_path):
+    from stardis_tpu.util.regression import RegressionData
+
+    with RegressionData(tmp_path, "case1", generate=True) as rd:
+        rd.sync_ndarray("spectrum", np.arange(10.0))
+        rd.sync_scalar("teff", 5777.0)
+    # compare mode: matches
+    with RegressionData(tmp_path, "case1") as rd:
+        rd.sync_ndarray("spectrum", np.arange(10.0))
+        rd.sync_scalar("teff", 5777.0)
+    # compare mode: mismatch raises
+    with pytest.raises(AssertionError):
+        with RegressionData(tmp_path, "case1") as rd:
+            rd.sync_ndarray("spectrum", np.arange(10.0) + 1e-3)
+    with pytest.raises(FileNotFoundError):
+        RegressionData(tmp_path, "missing")

@@ -13,10 +13,11 @@ from stardis_tpu import units as u
 from stardis_tpu.parallel.sharding import make_nu_mesh, shard_spectrum
 from stardis_tpu.pipeline import (
     build_simulation_plan,
+    max_window_pixels,
     run_simulation,
     stage_plasma_and_lines,
 )
-from stardis_tpu.opacities.line_kernel import choose_window, window_pixels
+from stardis_tpu.opacities.line_kernel import choose_window
 
 
 @pytest.fixture(scope="module")
@@ -67,7 +68,7 @@ def test_sharded_equals_unsharded(solar_plan, n_devices):
     state, lq = jax.jit(
         lambda t, n: stage_plasma_and_lines(plan, t, n)
     )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
-    win_max = float(jnp.max(window_pixels(*lq, plan.d_nu)))
+    win_max = max_window_pixels(lq, plan.d_nu)
     window = choose_window(win_max, len(plan.tracing_nus))
 
     mesh = make_nu_mesh(n_devices)
