@@ -1,0 +1,121 @@
+"""Batched synthesis of many atmospheres (data parallelism).
+
+BASELINE.json config 5: a Teff/logg grid of MARCS models synthesized
+together.  The reference has no multi-model path at all (SURVEY.md §2.10 —
+its only parallelism is threads); TPU-natively a batch of atmospheres is a
+vmapped leading axis, sharded across devices with a 'batch' mesh axis.
+
+All models in a batch must share the config (opacity sources, line window,
+theta count) and depth-point count; temperatures, densities/abundances and
+geometry vary per model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stardis_tpu.pipeline import (
+    SimulationPlan,
+    build_simulation_plan,
+    line_window_tiers,
+    stage_plasma_and_lines,
+    stage_spectrum,
+)
+from stardis_tpu.radiation_field.solver import (
+    calculate_spherical_ray,
+    gauss_legendre_thetas,
+)
+
+
+@dataclasses.dataclass
+class BatchInputs:
+    temperatures: np.ndarray  # [B, D]
+    n_elem: np.ndarray  # [B, E, D]
+    ray_distances: np.ndarray  # [B, G, T]
+
+
+def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
+               dtype=np.float64):
+    """(template_plan, BatchInputs) for a homogeneous model batch."""
+    plan = build_simulation_plan(
+        config, atom_data, stellar_models[0], tracing_nus_hz, dtype=dtype
+    )
+    thetas, _ = gauss_legendre_thetas(int(config.no_of_thetas))
+
+    temps, n_elem, rays = [], [], []
+    for model in stellar_models:
+        if model.no_of_depth_points != stellar_models[0].no_of_depth_points:
+            raise ValueError("all models in a batch need equal depth points")
+        temps.append(np.asarray(model.temperatures, dtype=dtype))
+        n_elem.append(
+            model.composition.elemental_number_density.values.astype(dtype)
+        )
+        r = np.asarray(model.geometry.r, dtype=dtype)
+        if model.spherical:
+            rays.append(calculate_spherical_ray(thetas, r).astype(dtype))
+        else:
+            rays.append(
+                (np.diff(r)[:, None] / np.cos(thetas)[None, :]).astype(dtype)
+            )
+    return plan, BatchInputs(
+        temperatures=np.stack(temps),
+        n_elem=np.stack(n_elem),
+        ray_distances=np.stack(rays),
+    )
+
+
+def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None,
+              chunk=None):
+    """Synthesize all atmospheres; returns F_nu [B, D, N].
+
+    With a mesh (axis 'batch'), inputs/outputs shard over the batch axis —
+    embarrassingly parallel, no collectives.
+    """
+    temps = jnp.asarray(batch.temperatures)
+    n_elem = jnp.asarray(batch.n_elem)
+    rays = jnp.asarray(batch.ray_distances)
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch"))
+        temps = jax.device_put(temps, sharding)
+        n_elem = jax.device_put(n_elem, sharding)
+        rays = jax.device_put(rays, sharding)
+
+    stage1 = jax.jit(jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n)))
+    state, lq = stage1(temps, n_elem)
+
+    # window tiers from the batch-max adaptive window per line
+    if lq:
+        from stardis_tpu.opacities.line_kernel import (
+            assign_window_tiers,
+            window_pixels,
+        )
+
+        window = {}
+        for key, (alpha, gamma, doppler) in lq.items():  # each [B, L, D]
+            win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+            win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))
+            window[key] = assign_window_tiers(
+                win_per_line, len(plan.tracing_nus)
+            )
+    else:
+        window = 0
+
+    def one(s, q, rd):
+        f_nu, *_ = stage_spectrum(plan, s, q, window=window, chunk=chunk,
+                                  ray_distances=rd)
+        return f_nu
+
+    stage2 = jax.jit(jax.vmap(one))
+    return stage2(state, lq, rays)
+
+
+def make_batch_mesh(n_devices=None, devices=None):
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), ("batch",))

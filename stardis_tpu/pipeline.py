@@ -360,9 +360,14 @@ def compute_continuum(plan: SimulationPlan, state, tracing_nus, nu_offset=None):
 
 
 def stage_spectrum(
-    plan: SimulationPlan, state, line_quants, window: int, chunk: int = 1024
+    plan: SimulationPlan, state, line_quants, window, chunk: int = 1024,
+    ray_distances=None,
 ):
-    """Jittable (static: window, chunk): opacities + formal solution."""
+    """Jittable (static: window, chunk): opacities + formal solution.
+
+    window: int, or dict of per-line-set tier lists from line_window_tiers.
+    ray_distances: optional [G, T] override (used by the batched runner,
+    where each atmosphere has its own geometry)."""
     tracing_nus = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
     opacities = compute_continuum(plan, state, tracing_nus)
 
@@ -405,11 +410,13 @@ def stage_spectrum(
             continue
         total = val if total is None else total + val
 
+    if ray_distances is None:
+        ray_distances = jnp.asarray(plan.ray_distances, dtype=total.dtype)
     source = blackbody_flux_at_nu(tracing_nus, state.t)
     f_nu, i_nus = raytrace(
         total,
         source,
-        jnp.asarray(plan.ray_distances, dtype=total.dtype),
+        ray_distances,
         jnp.asarray(plan.weights, dtype=total.dtype),
         inward_rays=plan.inward_rays,
         photospheric_correction=plan.photospheric_correction,

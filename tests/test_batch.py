@@ -1,0 +1,92 @@
+"""Batched multi-atmosphere synthesis (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from stardis_tpu import parse_config_to_model
+from stardis_tpu import units as u
+from stardis_tpu.io.marcs import read_marcs_model
+from stardis_tpu.io.synthetic import write_marcs_file
+from stardis_tpu.parallel.batch import make_batch, make_batch_mesh, run_batch
+from stardis_tpu.pipeline import run_simulation, build_simulation_plan
+
+
+@pytest.fixture(scope="module")
+def teff_grid_setup(tmp_path_factory):
+    base = tmp_path_factory.mktemp("grid")
+    teffs = [4500.0, 5777.0, 6500.0, 8000.0]
+    model_paths = []
+    for teff in teffs:
+        p = base / f"t{int(teff)}.mod"
+        write_marcs_file(p, teff=teff)
+        model_paths.append(p)
+    config_dict = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_paths[0]),
+            "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "line": {"disable": False, "broadening": ["radiation"]},
+        },
+        "no_of_thetas": 3,
+        "result_options": {},
+    }
+    cfg = base / "c.yml"
+    cfg.write_text(yaml.safe_dump(config_dict))
+    config, adata, model0 = parse_config_to_model(cfg)
+    models = [model0]
+    for p in model_paths[1:]:
+        models.append(
+            read_marcs_model(p).to_stellar_model(adata, final_atomic_number=5)
+        )
+    lams = np.arange(6555.0, 6575.0, 0.1)
+    nus = np.asarray(u.Quantity(lams, u.AA).to(u.Hz, u.spectral()))
+    return config, adata, models, nus, teffs
+
+
+def test_batch_matches_individual_runs(teff_grid_setup):
+    config, adata, models, nus, teffs = teff_grid_setup
+    plan, batch = make_batch(config, adata, models, nus)
+    f_batch = np.asarray(run_batch(plan, batch))
+    assert f_batch.shape == (4, 56, len(nus))
+
+    # compare each against an individual unbatched simulation
+    for i, model in enumerate(models):
+        plan_i = build_simulation_plan(config, adata, model, nus)
+        f_i, *_ = run_simulation(plan_i)
+        np.testing.assert_allclose(
+            f_batch[i, -1], np.asarray(f_i)[-1], rtol=1e-6,
+            err_msg=f"model {i} (Teff {teffs[i]})",
+        )
+
+
+def test_batch_flux_ordering(teff_grid_setup):
+    """Hotter atmospheres emit more at 6565 A."""
+    config, adata, models, nus, teffs = teff_grid_setup
+    plan, batch = make_batch(config, adata, models, nus)
+    f_batch = np.asarray(run_batch(plan, batch))
+    emergent = f_batch[:, -1, :].mean(axis=1)
+    assert (np.diff(emergent) > 0).all()  # sorted by increasing Teff
+
+
+def test_batch_sharded_over_devices(teff_grid_setup):
+    config, adata, models, nus, _ = teff_grid_setup
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    plan, batch = make_batch(config, adata, models, nus)
+    mesh = make_batch_mesh(4)
+    f_sharded = run_batch(plan, batch, mesh=mesh)
+    f_plain = run_batch(plan, batch)
+    np.testing.assert_allclose(
+        np.asarray(f_sharded), np.asarray(f_plain), rtol=1e-10
+    )
+    assert len(f_sharded.sharding.device_set) == 4
