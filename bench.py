@@ -93,7 +93,7 @@ def main():
     state, lq = stage1(temps, n_elem)
     jax.block_until_ready(state.electron_densities)
 
-    window = line_window_tiers(plan, lq)
+    window = line_window_tiers(plan, lq, state)
     tier_info = {k: [(len(i), w) for i, w in v] for k, v in window.items()}
 
     stage2 = jax.jit(

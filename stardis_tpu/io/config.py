@@ -42,6 +42,11 @@ LINE_SCHEMA = {
             },
         },
         "include_molecules": {"type": "boolean", "default": False},
+        "window_mode": {
+            "enum": ["reference", "accuracy"],
+            "default": "reference",
+        },
+        "window_epsilon": {"type": "number", "default": 1e-4},
     },
 }
 

@@ -56,6 +56,37 @@ def window_pixels(alpha, gamma, doppler, d_nu):
     return jnp.maximum(float(MIN_WINDOW_PIXELS), win)
 
 
+def window_pixels_accuracy(alpha, gamma, doppler, d_nu, epsilon=1e-12):
+    """Accuracy-controlled half-window: truncate the profile where its
+    opacity contribution alpha*phi drops below ``epsilon`` [1/cm].
+
+    ``epsilon`` may be a scalar or a per-depth [D] array (broadcasts against
+    the [L, D] line arrays) — the pipeline passes
+    epsilon_rel * (continuum-opacity proxy per depth), so the truncation
+    error is bounded *relative to the local continuum*.
+
+    Documented divergence from the reference heuristic (which scales the
+    window by the raw line alpha and in practice sends most lines to the
+    full grid — its own comment at base.py:564-566 concedes this).  Here the
+    cutoff follows the profile's actual decay:
+
+    * Lorentzian far wing: alpha gamma/(pi^2 dnu^2) = eps
+        -> dnu = sqrt(alpha gamma / (pi^2 eps))
+    * Gaussian core: alpha e^{-x^2}/(sqrt(pi) dw) = eps
+        -> x = sqrt(max(0, ln(alpha/(sqrt(pi) dw eps))))
+
+    plus a floor of 4 Doppler+Lorentz widths to always resolve the core.
+    Wider never changes physics (only adds true wing opacity); narrower is
+    bounded by epsilon in absolute extinction.
+    """
+    lorentz = jnp.sqrt(alpha * gamma / (jnp.pi**2 * epsilon))
+    core = jnp.log(alpha / (jnp.sqrt(jnp.pi) * doppler * epsilon))
+    gauss = doppler * jnp.sqrt(jnp.maximum(core, 0.0))
+    floor = 4.0 * (gamma + doppler)
+    dnu_cut = jnp.maximum(jnp.maximum(lorentz, gauss), floor)
+    return jnp.maximum(float(MIN_WINDOW_PIXELS), dnu_cut / d_nu)
+
+
 TIER_WINDOWS = (128, 512, 2048, 8192)
 
 
@@ -107,6 +138,8 @@ def accumulate_line_opacity(
     d_nu: float,  # static smallest grid step
     chunk: int | None = 1024,
     memory_budget_bytes: int = 1 << 29,
+    window_mode: str = "reference",
+    window_epsilon=1e-12,  # scalar or per-depth [D] array
 ):
     """alpha_line_at_nu [D, N] = sum over lines of alpha * phi(nu - nu_line),
     each line restricted to its adaptive window.
@@ -148,7 +181,12 @@ def accumulate_line_opacity(
         idx = jnp.clip(idx_raw, 0, n_nu - 1)
         dnu = tracing_nus_desc[idx] - c_nu[:, None]  # [C, W]
 
-        win = window_pixels(c_alpha, c_gamma, c_doppler, d_nu)  # [C, D]
+        if window_mode == "accuracy":
+            win = window_pixels_accuracy(
+                c_alpha, c_gamma, c_doppler, d_nu, epsilon=window_epsilon
+            )  # [C, D]
+        else:
+            win = window_pixels(c_alpha, c_gamma, c_doppler, d_nu)  # [C, D]
         iw = jnp.floor(win)
         within = (offsets[None, None, :] >= -iw[:, :, None]) & (
             offsets[None, None, :] < iw[:, :, None]
@@ -193,6 +231,8 @@ def accumulate_line_opacity_tiered(
     tiers,  # list of (host int64 index array, window int)
     d_nu: float,
     chunk: int | None = None,
+    window_mode: str = "reference",
+    window_epsilon=1e-12,
 ):
     """Tiered accumulation: each tier's line subset runs the windowed kernel
     at its own (static) window width; results sum exactly."""
@@ -211,6 +251,8 @@ def accumulate_line_opacity_tiered(
             window=int(w),
             d_nu=d_nu,
             chunk=chunk,
+            window_mode=window_mode,
+            window_epsilon=window_epsilon,
         )
     return out
 

@@ -35,6 +35,7 @@ from stardis_tpu.opacities.line_kernel import (
     grid_min_step,
     line_center_indices,
     window_pixels,
+    window_pixels_accuracy,
 )
 from stardis_tpu.opacities.lines import (
     LineData,
@@ -86,6 +87,8 @@ class SimulationPlan:
     photospheric_correction: float | None
     track_individual_intensities: bool = False
     d_nu: float = 0.0
+    window_mode: str = "reference"
+    window_epsilon: float = 1e-4
     molecule_tables: object | None = None  # plasma.molecules.MoleculeTables
     molecule_line_data: object | None = None  # plasma.molecules.MoleculeLineData
 
@@ -229,6 +232,8 @@ def build_simulation_plan(
             config.result_options.return_radiation_field
         ),
         d_nu=grid_min_step(tracing_nus),
+        window_mode=str(line_cfg.get("window_mode", "reference")),
+        window_epsilon=float(line_cfg.get("window_epsilon", 1e-4)),
         molecule_tables=molecule_tables,
         molecule_line_data=molecule_line_data,
     )
@@ -276,7 +281,21 @@ def stage_plasma_and_lines(plan: SimulationPlan, temps, n_elem):
     return state, (quants or None)
 
 
-def line_window_tiers(plan, line_quants):
+def accuracy_epsilon(plan, state):
+    """Per-depth absolute truncation threshold [1/cm]: epsilon_rel times a
+    continuum-opacity proxy (Thomson + approximate H- bound-free), so wing
+    truncation stays a fixed fraction of the local continuum at every depth.
+    """
+    from stardis_tpu.constants import SIGMA_T_CGS
+
+    proxy = (
+        SIGMA_T_CGS * state.electron_densities
+        + 4e-17 * state.h_minus_density  # H- bf cross-section scale
+    )
+    return plan.window_epsilon * proxy
+
+
+def line_window_tiers(plan, line_quants, state=None):
     """Host-side: pull each line's depth-max adaptive window and bucket the
     line sets into window tiers (one small device->host transfer of [L])."""
     import jax.numpy as _jnp
@@ -284,9 +303,19 @@ def line_window_tiers(plan, line_quants):
     if not line_quants:
         return 0
     n_nu = len(plan.tracing_nus)
+    eps = None
+    if plan.window_mode == "accuracy":
+        if state is None:
+            raise ValueError("accuracy window mode needs the plasma state")
+        eps = accuracy_epsilon(plan, state)[None, :]
     tiers = {}
     for key, (alpha, gamma, doppler) in line_quants.items():
-        win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+        if plan.window_mode == "accuracy":
+            win = window_pixels_accuracy(
+                alpha, gamma, doppler, plan.d_nu, epsilon=eps
+            )
+        else:
+            win = window_pixels(alpha, gamma, doppler, plan.d_nu)
         win_per_line = np.asarray(_jnp.max(win, axis=1))
         tiers[key] = assign_window_tiers(win_per_line, n_nu)
     return tiers
@@ -372,6 +401,11 @@ def stage_spectrum(
     opacities = compute_continuum(plan, state, tracing_nus)
 
     line_quants = line_quants or {}
+    eps = (
+        accuracy_epsilon(plan, state)[None, :]
+        if plan.window_mode == "accuracy"
+        else plan.window_epsilon
+    )
 
     def accumulate(key, line_nus_host, triple):
         alpha, gamma, doppler = triple
@@ -383,10 +417,14 @@ def stage_spectrum(
             return accumulate_line_opacity_tiered(
                 tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
                 tiers=spec, d_nu=plan.d_nu, chunk=chunk,
+                window_mode=plan.window_mode,
+                window_epsilon=eps,
             )
         return accumulate_line_opacity(
             tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
             window=int(spec), d_nu=plan.d_nu, chunk=chunk,
+            window_mode=plan.window_mode,
+            window_epsilon=eps,
         )
 
     if "atomic" in line_quants:
@@ -434,7 +472,7 @@ def run_simulation(plan: SimulationPlan, chunk: int = 1024):
     stage1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
     state, line_quants = stage1(temps, n_elem)
 
-    window = line_window_tiers(plan, line_quants)
+    window = line_window_tiers(plan, line_quants, state)
 
     stage2 = jax.jit(
         lambda s, lq: stage_spectrum(plan, s, lq, window=window, chunk=chunk)
