@@ -75,8 +75,11 @@ def write_marcs_file(
     feh=0.0,
     afe=0.0,
     abundances=None,
+    spherical=False,
+    radius_cm=6.957e10,
+    mass_msun=1.0,
 ):
-    """Write a synthetic plane-parallel MARCS ``.mod`` file."""
+    """Write a synthetic MARCS ``.mod`` file (plane-parallel or spherical)."""
     s = gray_atmosphere_structure(teff=teff, logg=logg, n_depth=n_depth)
     grav = 10.0**logg
     flux = 5.6704e-5 * teff**4  # sigma_sb cgs
@@ -85,17 +88,25 @@ def write_marcs_file(
         abundances = [ASPLUND_2009.get(z, -99.0) for z in range(1, 93)]
 
     lines = []
-    lines.append(f"sun_synthetic_t{int(teff)}_g{logg:+.1f}")
+    tag = "sph" if spherical else "pp"
+    lines.append(f"sun_synthetic_{tag}_t{int(teff)}_g{logg:+.1f}")
     lines.append(f"  {teff:.0f}.      Teff [K].         Last iteration; yyyymmdd=20260101")
     lines.append(f"  {flux:.4E} Flux [erg/cm2/s]")
     lines.append(f"  {grav:.4E} Surface gravity [cm/s2]")
     lines.append(f"  {microturbulence:.1f}        Microturbulence parameter [km/s]")
-    lines.append("  0.0        No mass for plane-parallel models")
+    if spherical:
+        lines.append(f"  {mass_msun:.4f}     Mass [solar masses]")
+    else:
+        lines.append("  0.0        No mass for plane-parallel models")
     lines.append(
         f" {feh:+.2f} {afe:+.2f} Metallicity [Fe/H] and [alpha/Fe]"
     )
-    lines.append("  1.0000E+00 1 cm radius for plane-parallel models")
-    lines.append("  3.8899E-23 Luminosity [Lsun] FOR A RADIUS OF 1 cm!")
+    if spherical:
+        lines.append(f"  {radius_cm:.4E} Radius [cm] at Tau(Rosseland)=1.0")
+        lines.append("  1.0000E+00 Luminosity [Lsun]")
+    else:
+        lines.append("  1.0000E+00 1 cm radius for plane-parallel models")
+        lines.append("  3.8899E-23 Luminosity [Lsun] FOR A RADIUS OF 1 cm!")
     lines.append(
         "  1.50 8.00 0.076 0.00 are the convection parameters: alpha, nu, y and beta"
     )
