@@ -24,6 +24,28 @@ from stardis_tpu.radiation_field.solver import gauss_legendre_thetas
 logger = logging.getLogger(__name__)
 
 
+def set_num_threads(n_threads):
+    """Thread-count compatibility shim (reference base.py:48-81).
+
+    The reference drives Numba's thread pool; on TPU parallelism comes from
+    XLA and the device mesh, so this validates the argument for config
+    compatibility and logs the execution mode.  Accepted values mirror the
+    reference: 1 (serial), -99 (max), n>1; other values raise.
+    """
+    if n_threads == 1:
+        logger.info("Running in serial mode (XLA still parallelizes on-chip)")
+    elif n_threads == -99:
+        logger.info("Running with max threads (XLA default)")
+    elif n_threads > 1:
+        logger.info(
+            "Running with %d threads requested (advisory on TPU)", n_threads
+        )
+    else:
+        raise ValueError(
+            "n_threads must be a positive integer, or -99 for max threads."
+        )
+
+
 def _load_atom_data(spec: str) -> AtomData:
     """Resolve the config ``atom_data`` entry.
 
@@ -173,11 +195,20 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None):
     config, adata, stellar_model = parse_config_to_model(
         config_fname, add_config_dict
     )
+    set_num_threads(int(config.n_threads) if config.n_threads != 0 else -99)
 
+    from stardis_tpu.util.profiling import StageTimer
+
+    timer = StageTimer(
+        grid_cells=len(tracing_nus_hz) * stellar_model.no_of_depth_points
+    )
     logger.info("Creating plasma and opacity plan")
-    plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
+    with timer.stage("plan"):
+        plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
     logger.info("Solving plasma, opacities and transfer")
-    f_nu, total, opacities_dict, i_nus, state, window = run_simulation(plan)
+    with timer.stage("solve"):
+        f_nu, total, opacities_dict, i_nus, state, window = run_simulation(plan)
+    timer.report()
 
     thetas, weights = gauss_legendre_thetas(int(config.no_of_thetas))
     radiation_field = RadiationField(

@@ -140,3 +140,52 @@ def write_marcs_file(
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     return path
+
+
+def write_mesa_file(path, teff=5777.0, logg=4.44, n_shells=80,
+                    radius_cm=6.957e10, mass_msun=1.0):
+    """Write a synthetic MESA ``.mod`` profile (surface layers of a star).
+
+    Shells are ordered outermost-first, as MESA writes them; the structure
+    reuses the gray-atmosphere solution.  Numbers use MESA's Fortran
+    D-exponent convention so the production reader's D->E handling is
+    exercised.
+    """
+
+    def dfmt(x):
+        return f"{x:.10E}".replace("E", "D")
+
+    s = gray_atmosphere_structure(teff=teff, logg=logg, n_depth=n_shells)
+    # surface-first ordering; radius decreases inward
+    r = radius_cm - (s["depth"] - s["depth"][0])
+    lines = []
+    lines.append("! synthetic MESA model (stardis_tpu)")
+    lines.append("")
+    lines.append("          version_number   11701")
+    lines.append(f"          M/Msun           {dfmt(mass_msun)}")
+    lines.append("          model_number     1000")
+    lines.append(f"          star_age         {dfmt(4.6e9)}")
+    lines.append(f"          initial_z        {dfmt(0.02)}")
+    lines.append(f"          n_shells         {n_shells}")
+    lines.append("          net_name         'basic.net'")
+    lines.append("          species          8")
+    lines.append(f"          Teff             {dfmt(teff)}")
+    lines.append("")
+    # pad so the data header lands at the reader's fixed offset (row 24)
+    while len(lines) < 23:
+        lines.append("!")
+    header = ["zone", "lnd", "lnT", "lnR", "L", "dq"]
+    lines.append(" ".join(f"{h:>24s}" for h in header))
+    for k in range(n_shells):
+        row = [
+            f"{k + 1:5d}",
+            dfmt(np.log(s["rho"][k])),
+            dfmt(np.log(s["temperature"][k])),
+            dfmt(np.log(r[k])),
+            dfmt(3.828e33),
+            dfmt(1.0 / n_shells),
+        ]
+        lines.append(" ".join(f"{v:>24s}" for v in row))
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
