@@ -28,6 +28,7 @@ from jax import shard_map
 
 from stardis_tpu.opacities.line_kernel import (
     accumulate_line_opacity,
+    accumulate_line_opacity_tiered,
     line_center_indices,
 )
 from stardis_tpu.pipeline import SimulationPlan, compute_continuum
@@ -56,12 +57,14 @@ def shard_spectrum(
     plan: SimulationPlan,
     state,
     line_quants,
-    window: int,
+    window,
     mesh: Mesh,
-    chunk: int = 1024,
+    chunk: int | None = 1024,
 ):
     """Sharded equivalent of pipeline.stage_spectrum (F_nu only).
 
+    window: int, or a dict of per-line-set tier lists from
+    pipeline.line_window_tiers (same contract as stage_spectrum).
     Returns F_nu [D, N] with the nu axis sharded over the mesh.
     """
     import dataclasses
@@ -111,19 +114,29 @@ def shard_spectrum(
         for key, val in opac.items():
             total = val if total is None else total + val
 
+        if plan.window_mode == "accuracy":
+            from stardis_tpu.pipeline import accuracy_epsilon
+
+            eps = accuracy_epsilon(plan, state_rep)[None, :]
+        else:
+            eps = plan.window_epsilon
         for key, (alpha, gamma, doppler) in (lq_rep or {}).items():
             line_nu_dev, centers_dev = line_sets[key]
-            alpha_line = accumulate_line_opacity(
-                nus_local,
-                line_nu_dev,
-                centers_dev - offset,
-                alpha,
-                gamma,
-                doppler,
-                window=window,
-                d_nu=plan.d_nu,
-                chunk=chunk,
-            )
+            spec = window[key] if isinstance(window, dict) else window
+            if isinstance(spec, (list, tuple)):
+                alpha_line = accumulate_line_opacity_tiered(
+                    nus_local, line_nu_dev, centers_dev - offset,
+                    alpha, gamma, doppler,
+                    tiers=spec, d_nu=plan.d_nu, chunk=chunk,
+                    window_mode=plan.window_mode, window_epsilon=eps,
+                )
+            else:
+                alpha_line = accumulate_line_opacity(
+                    nus_local, line_nu_dev, centers_dev - offset,
+                    alpha, gamma, doppler,
+                    window=int(spec), d_nu=plan.d_nu, chunk=chunk,
+                    window_mode=plan.window_mode, window_epsilon=eps,
+                )
             total = total + alpha_line
 
         source = blackbody_flux_at_nu(nus_local, state_rep.t)

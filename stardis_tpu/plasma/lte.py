@@ -181,7 +181,19 @@ def solve_lte(temperatures, elemental_number_density, dt: DevicePlasmaTables):
     log_lo, log_hi = jax.lax.fori_loop(
         0, N_E_BISECTION_ITERS, body, (log_lo, log_hi)
     )
-    log_ne = 0.5 * (log_lo + log_hi)
+    log_ne_star = jax.lax.stop_gradient(0.5 * (log_lo + log_hi))
+
+    # One differentiable Newton step on the detached bisection root.  At the
+    # converged root this changes the value below the bisection tolerance but
+    # gives EXACT implicit-function gradients d n_e / d(T, N) — the bisection
+    # itself is piecewise-constant and would backprop zeros.  This makes the
+    # whole pipeline differentiable (spectra w.r.t. atmosphere parameters),
+    # which the reference cannot do at all.
+    def resid(x):
+        return jnp.log(total_charge(x)) - x
+
+    fx, dfx = jax.jvp(resid, (log_ne_star,), (jnp.ones_like(log_ne_star),))
+    log_ne = log_ne_star - fx / dfx
     n_e = jnp.exp(log_ne)
 
     # --- populations ----------------------------------------------------

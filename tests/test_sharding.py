@@ -45,19 +45,19 @@ def solar_plan(tmp_path_factory):
                 "broadening": ["radiation", "linear_stark"],
             },
         },
-        "no_of_thetas": 5,
+        "no_of_thetas": 3,
         "result_options": {},
     }
     cfg_path = base / "config.yml"
     cfg_path.write_text(yaml.safe_dump(config))
     config, adata, stellar_model = parse_config_to_model(cfg_path)
-    lambdas = np.arange(6520, 6610, 0.05)  # 1800 points, not divisible by 8
+    lambdas = np.arange(6545, 6585, 0.06)  # 667 points, not divisible by 8
     nus = u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
     plan = build_simulation_plan(config, adata, stellar_model, np.asarray(nus))
     return plan
 
 
-@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize("n_devices", [8])
 def test_sharded_equals_unsharded(solar_plan, n_devices):
     plan = solar_plan
     if len(jax.devices()) < n_devices:
@@ -74,6 +74,29 @@ def test_sharded_equals_unsharded(solar_plan, n_devices):
     mesh = make_nu_mesh(n_devices)
     f_shard = shard_spectrum(plan, state, lq, window, mesh)
 
+    np.testing.assert_allclose(
+        np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
+
+
+def test_sharded_tiered_windows(solar_plan):
+    """Tier-dict windows through the sharded path match the unsharded run."""
+    from stardis_tpu.pipeline import line_window_tiers
+
+    plan = solar_plan
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    from stardis_tpu.pipeline import stage_spectrum
+
+    f_ref, *_ = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    mesh = make_nu_mesh(4)
+    f_shard = shard_spectrum(plan, state, lq, tiers, mesh, chunk=None)
     np.testing.assert_allclose(
         np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
     )
