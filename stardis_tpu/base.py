@@ -98,6 +98,17 @@ def parse_config_to_model(config_fname, add_config_dict=None):
     else:
         raise ValueError("Model type must be 'marcs' or 'mesa'")
 
+    vald_cfg = config.opacity.line.vald_linelist
+    if getattr(vald_cfg, "fname", None):
+        from stardis_tpu.native import read_vald_linelist
+
+        logger.info("Parsing VALD linelist %s", vald_cfg.fname)
+        linelist, is_short = read_vald_linelist(vald_cfg.fname)
+        adata.linelist_atoms = linelist
+        if is_short and not vald_cfg.shortlist:
+            logger.info("VALD file detected as shortlist format")
+            config.set_config_item("opacity.line.vald_linelist.shortlist", True)
+
     adata.prepare_atom_data(
         np.arange(
             1,

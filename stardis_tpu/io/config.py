@@ -39,6 +39,10 @@ LINE_SCHEMA = {
                 "use_linelist": {"type": "boolean", "default": False},
                 "shortlist": {"type": "boolean", "default": False},
                 "use_vald_broadening": {"type": "boolean", "default": True},
+                # extension over the reference (whose schema notes the
+                # linelist "cannot be supplied separately"): path to a raw
+                # VALD3 text export, parsed by the native C++ reader
+                "fname": {"type": ["string", "null"], "default": None},
             },
         },
         "include_molecules": {"type": "boolean", "default": False},
