@@ -102,7 +102,11 @@ def prepare_line_data(
     if use_vald:
         e_low = frame.e_low.values * EV_TO_ERG
         e_up = frame.e_up.values * EV_TO_ERG
-        if drop_autoionization and "j_lo" in frame.columns:
+        # long-form VALD lists ALWAYS drop autoionizing lines (their upper
+        # level sits above the ionization energy and the broadening
+        # treatment has no n_eff for them — reference plasma/base.py:318-321);
+        # shortlists cannot (no reliable E_up / j columns)
+        if "j_lo" in frame.columns:
             keep = e_up < frame.ionization_energy.values
             frame = frame[keep]
             e_low, e_up = e_low[keep], e_up[keep]
@@ -164,6 +168,14 @@ def prepare_line_data(
         dtype=np.int64,
     )
     e_up = tables.level_energy[upper_flat]
+
+    if drop_autoionization:
+        # reference base.py:413-421: lines whose upper level lies above the
+        # ionization energy are dropped when VALD broadening is not in use
+        keep = e_up < frame.ionization_energy.values
+        frame = frame[keep]
+        lower_flat = lower_flat[keep]
+        e_low, e_up = e_low[keep], e_up[keep]
 
     return LineData(
         nu=frame.nu.values.astype(float),

@@ -159,9 +159,12 @@ def build_simulation_plan(
             tracing_nus.min(),
             tracing_nus.max(),
             use_vald=use_vald,
-            drop_autoionization=not (
-                use_vald and line_cfg.vald_linelist.use_vald_broadening
-            ),
+            # TARDIS-path lists additionally drop autoionizing lines when
+            # VALD broadening is not in use (reference base.py:413-421);
+            # long-form VALD drops them unconditionally inside
+            # prepare_line_data
+            drop_autoionization=not line_cfg.vald_linelist.use_vald_broadening
+            or not use_vald,
         )
         logger.info("Selected %d lines in the tracing window", line_data.n_lines)
 
@@ -471,6 +474,15 @@ def run_simulation(plan: SimulationPlan, chunk: int = 1024):
 
     stage1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
     state, line_quants = stage1(temps, n_elem)
+
+    # reference parity: NaN/inf line alphas abort the run
+    # (reference plasma/base.py:162-165, 291-294)
+    for key, (alpha, _, _) in (line_quants or {}).items():
+        if not bool(jnp.isfinite(alpha).all()):
+            raise ValueError(
+                f"Some {key} alpha_line are nan, inf, -inf. "
+                "Something went wrong!"
+            )
 
     window = line_window_tiers(plan, line_quants, state)
 
