@@ -102,14 +102,20 @@ def prepare_line_data(
     if use_vald:
         e_low = frame.e_low.values * EV_TO_ERG
         e_up = frame.e_up.values * EV_TO_ERG
-        # long-form VALD lists ALWAYS drop autoionizing lines (their upper
-        # level sits above the ionization energy and the broadening
-        # treatment has no n_eff for them — reference plasma/base.py:318-321);
-        # shortlists cannot (no reliable E_up / j columns)
-        if "j_lo" in frame.columns:
+        long_form = "j_lo" in frame.columns
+        if long_form:
+            # long-form VALD lists ALWAYS drop autoionizing lines
+            # (reference AlphaLineVald, plasma/base.py:318-321; strict <)
             keep = e_up < frame.ionization_energy.values
-            frame = frame[keep]
-            e_low, e_up = e_low[keep], e_up[keep]
+        elif drop_autoionization:
+            # shortlists drop only via the calc_alpha path's conditional
+            # (reference base.py:413-421); note the reference keeps
+            # equality/NaN cases: drop condition is e_up > chi
+            keep = ~(e_up > frame.ionization_energy.values)
+        else:
+            keep = np.ones(len(frame), dtype=bool)
+        frame = frame[keep]
+        e_low, e_up = e_low[keep], e_up[keep]
         vald_slot = np.array(
             [
                 tables.slot_of(int(z), int(q))
@@ -117,12 +123,9 @@ def prepare_line_data(
             ],
             dtype=np.int64,
         )
-        if "j_lo" in frame.columns:
-            g_lo = frame.j_lo.values * 2 + 1
-            # long-form: f_lu = 10^log_gf / g_lo; n_lower uses g_lo explicitly
-            vald_gf = 10.0 ** frame.log_gf.values  # g_lo * f_lu
-        else:
-            vald_gf = 10.0 ** frame.log_gf.values  # degeneracies cancel
+        # gf = g_lo * f_lu as VALD tabulates it; the g_lo in n_lower and the
+        # /g_lo in f_lu cancel, so both long and short forms use 10^log_gf
+        vald_gf = 10.0 ** frame.log_gf.values
         return LineData(
             nu=frame.nu.values.astype(float),
             atomic_number=frame.atomic_number.values.astype(np.int64),
@@ -171,8 +174,10 @@ def prepare_line_data(
 
     if drop_autoionization:
         # reference base.py:413-421: lines whose upper level lies above the
-        # ionization energy are dropped when VALD broadening is not in use
-        keep = e_up < frame.ionization_energy.values
+        # ionization energy are dropped when VALD broadening is not in use;
+        # the reference's drop condition is e_up > chi, so equality and
+        # NaN-chi rows are KEPT
+        keep = ~(e_up > frame.ionization_energy.values)
         frame = frame[keep]
         lower_flat = lower_flat[keep]
         e_low, e_up = e_low[keep], e_up[keep]

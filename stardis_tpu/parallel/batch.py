@@ -88,6 +88,9 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
 
     stage1 = jax.jit(jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n)))
     state, lq = stage1(temps, n_elem)
+    from stardis_tpu.pipeline import validate_line_quants
+
+    validate_line_quants(lq)
 
     # window tiers from the batch-max adaptive window per line
     if lq:

@@ -159,12 +159,11 @@ def build_simulation_plan(
             tracing_nus.min(),
             tracing_nus.max(),
             use_vald=use_vald,
-            # TARDIS-path lists additionally drop autoionizing lines when
-            # VALD broadening is not in use (reference base.py:413-421);
-            # long-form VALD drops them unconditionally inside
-            # prepare_line_data
-            drop_autoionization=not line_cfg.vald_linelist.use_vald_broadening
-            or not use_vald,
+            # the conditional drop applies to TARDIS-path and shortlist
+            # lines when VALD broadening is not in use (reference
+            # base.py:413-421, gated only on use_vald_broadening); long-form
+            # VALD drops unconditionally inside prepare_line_data
+            drop_autoionization=not line_cfg.vald_linelist.use_vald_broadening,
         )
         logger.info("Selected %d lines in the tracing window", line_data.n_lines)
 
@@ -296,6 +295,35 @@ def accuracy_epsilon(plan, state):
         + 4e-17 * state.h_minus_density  # H- bf cross-section scale
     )
     return plan.window_epsilon * proxy
+
+
+def validate_line_quants(line_quants):
+    """Reference parity: NaN/inf line quantities abort the run (reference
+    plasma/base.py:162-165, 291-294).  All per-set flags are reduced on
+    device and pulled in ONE host transfer (tunnel round-trips are
+    expensive; see CLAUDE.md)."""
+    if not line_quants:
+        return
+    flags = jnp.stack(
+        [
+            jnp.isfinite(arr).all()
+            for triple in line_quants.values()
+            for arr in triple
+        ]
+    )
+    if not bool(flags.all()):
+        bad = np.asarray(flags).reshape(len(line_quants), 3)
+        names = list(line_quants.keys())
+        detail = ", ".join(
+            f"{names[i]}:{'alpha gamma doppler'.split()[j]}"
+            for i in range(bad.shape[0])
+            for j in range(3)
+            if not bad[i, j]
+        )
+        raise ValueError(
+            f"Some line quantities ({detail}) are nan, inf, -inf. "
+            "Something went wrong!"
+        )
 
 
 def line_window_tiers(plan, line_quants, state=None):
@@ -475,14 +503,7 @@ def run_simulation(plan: SimulationPlan, chunk: int = 1024):
     stage1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
     state, line_quants = stage1(temps, n_elem)
 
-    # reference parity: NaN/inf line alphas abort the run
-    # (reference plasma/base.py:162-165, 291-294)
-    for key, (alpha, _, _) in (line_quants or {}).items():
-        if not bool(jnp.isfinite(alpha).all()):
-            raise ValueError(
-                f"Some {key} alpha_line are nan, inf, -inf. "
-                "Something went wrong!"
-            )
+    validate_line_quants(line_quants)
 
     window = line_window_tiers(plan, line_quants, state)
 

@@ -49,23 +49,38 @@ def test_vald_long_form_always_drops_autoionizing(setup):
         assert np.isclose(ld.level_energy_upper[0] / EV_TO_ERG, 3.889)
 
 
-def test_tardis_path_conditional_drop(setup):
-    ad, tables = setup
-    # append a fake autoionizing H line (upper level beyond ionization):
-    # impossible physically for H's hydrogenic ladder, so fabricate a level
-    lines = ad.lines.copy()
-    fake = lines.iloc[[0]].copy()
-    # H-alpha neighbors: reuse indices but claim upper level energy > chi by
-    # pointing at level 19 (close to chi) won't exceed; instead test that no
-    # builtin H line is dropped (all bound) and the flag keeps counts equal
+def test_tardis_path_conditional_drop():
+    """A genuinely autoionizing TARDIS-path line is dropped iff requested."""
+    from stardis_tpu.atom_data import build_builtin_atom_data
+    from stardis_tpu.plasma.tables import build_plasma_tables
+
+    ad = build_builtin_atom_data(max_atomic_number=2)
+    # fabricate an H I level above the ionization energy and a line into it
+    import pandas as pd
+
+    auto_level = pd.DataFrame(
+        {"energy": [14.5 * EV_TO_ERG], "g": [2.0], "metastable": [False]},
+        index=pd.MultiIndex.from_tuples(
+            [(1, 0, 50)], names=["atomic_number", "ion_number", "level_number"]
+        ),
+    )
+    ad.levels = pd.concat([ad.levels, auto_level])
+    nu_line = 4.6e14
+    fake_line = ad.lines.iloc[[0]].copy()
+    fake_line.loc[:, ["level_number_lower", "level_number_upper", "nu"]] = [
+        [1, 50, nu_line]
+    ]
+    ad.lines = pd.concat([ad.lines, fake_line], ignore_index=True)
+    tables = build_plasma_tables(ad)
+
     nu_lo, nu_hi = 4.0e14, 5.0e14
     ld_drop = prepare_line_data(ad, tables, nu_lo, nu_hi, use_vald=False,
                                 drop_autoionization=True)
     ld_keep = prepare_line_data(ad, tables, nu_lo, nu_hi, use_vald=False,
                                 drop_autoionization=False)
-    assert ld_drop.n_lines == ld_keep.n_lines > 0
-    # all retained lines are bound
-    assert (ld_drop.level_energy_upper < ld_drop.ionization_energy).all()
+    assert ld_keep.n_lines == ld_drop.n_lines + 1
+    assert (ld_drop.level_energy_upper <= ld_drop.ionization_energy).all()
+    assert (ld_keep.level_energy_upper > ld_keep.ionization_energy).any()
 
 
 def test_range_selection_sorted(setup):
