@@ -217,7 +217,7 @@ def compute_vald_gamma(
     ld = line_data
     t = temperatures
     n_e = state.electron_densities
-    h1_density = state.ion_number_density[0]
+    h1_density = state.h_neutral_density
     n_lines = ld.n_lines
     n_depth = t.shape[0]
 
@@ -309,7 +309,7 @@ def compute_line_quantities(
             * stim
         )
 
-    h1_density = state.ion_number_density[0]  # H sorts first: slot (1, 0)
+    h1_density = state.h_neutral_density
     if use_vald_broadening:
         gamma = compute_vald_gamma(
             ld, state, t, broadening_flags, dtype=dtype

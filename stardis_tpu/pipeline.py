@@ -101,7 +101,8 @@ def build_simulation_plan(
     n_elem_frame = stellar_model.composition.elemental_number_density
     tables = build_plasma_tables(atom_data, n_elem_frame.index.values)
     dtables = device_tables(tables, dtype=jnp.dtype(dtype))
-    n_elem = n_elem_frame.values.astype(dtype)
+    # tables sort atomic numbers; align the density rows to that order
+    n_elem = n_elem_frame.loc[tables.zs].values.astype(dtype)
 
     opacity = config.opacity
 
@@ -183,7 +184,6 @@ def build_simulation_plan(
                 molecule_tables,
                 tracing_nus.min(),
                 tracing_nus.max(),
-                shortlist=line_cfg.vald_linelist.shortlist,
             )
             logger.info(
                 "Selected %d molecular lines", molecule_line_data.n_lines

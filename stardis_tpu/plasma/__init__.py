@@ -19,7 +19,7 @@ def create_stellar_plasma(stellar_model, atom_data, config=None):
     dt = device_tables(tables)
     state = solve_lte(
         jnp.asarray(np.asarray(stellar_model.temperatures)),
-        jnp.asarray(n_elem_frame.values),
+        jnp.asarray(n_elem_frame.loc[tables.zs].values),
         dt,
     )
     return state, tables

@@ -61,6 +61,8 @@ class DevicePlasmaTables(NamedTuple):
     level_energy: jnp.ndarray  # [L]
     level_g: jnp.ndarray  # [L]
     level_slot: jnp.ndarray  # [L]
+    h_slots: jnp.ndarray  # [2] slots of (H I, H II); 0 when H absent
+    has_hydrogen: jnp.ndarray  # [] bool
 
 
 def device_tables(tables: PlasmaTables, dtype=jnp.float64) -> DevicePlasmaTables:
@@ -68,6 +70,12 @@ def device_tables(tables: PlasmaTables, dtype=jnp.float64) -> DevicePlasmaTables
     e_count = tables.n_elements
     charges = np.broadcast_to(np.arange(j_max), (e_count, j_max))
     ion_mask = charges < tables.n_ions[:, None]
+    try:
+        h_slots = np.array([tables.slot_of(1, 0), tables.slot_of(1, 1)])
+        has_h = True
+    except KeyError:
+        h_slots = np.array([0, 0])
+        has_h = False
     return DevicePlasmaTables(
         slot_element=jnp.asarray(tables.slot_element),
         slot_ion=jnp.asarray(tables.slot_ion),
@@ -79,6 +87,8 @@ def device_tables(tables: PlasmaTables, dtype=jnp.float64) -> DevicePlasmaTables
         level_energy=jnp.asarray(tables.level_energy, dtype=dtype),
         level_g=jnp.asarray(tables.level_g, dtype=dtype),
         level_slot=jnp.asarray(tables.level_slot),
+        h_slots=jnp.asarray(h_slots, dtype=jnp.int32),
+        has_hydrogen=jnp.asarray(has_h),
     )
 
 
@@ -93,6 +103,7 @@ class PlasmaState(NamedTuple):
     ion_number_density: jnp.ndarray  # [S, D]
     level_number_density: jnp.ndarray  # [L, D]
     number_density: jnp.ndarray  # [E, D] elemental
+    h_neutral_density: jnp.ndarray  # [D] n(H I); zeros when H absent
     h_minus_density: jnp.ndarray  # [D]
     h2_density: jnp.ndarray  # [D]
     h2_plus_density: jnp.ndarray  # [D]
@@ -207,9 +218,11 @@ def solve_lte(temperatures, elemental_number_density, dt: DevicePlasmaTables):
     n_level = n_ion[dt.level_slot] * lb / u[dt.level_slot]
 
     # --- hydrogen species (reference plasma/base.py:62-127) -------------
-    # slots (1, 0) and (1, 1) are always slots 0 and 1 (H sorts first)
-    n_h_neutral = n_ion[0]
-    n_h_plus = n_ion[1]
+    # slots resolved at table-build time; zeroed when H is not in the mix
+    # (the reference crashes on ion_number_density.loc[1, 0] instead)
+    h_present = dt.has_hydrogen
+    n_h_neutral = jnp.where(h_present, n_ion[dt.h_slots[0]], 0.0)
+    n_h_plus = jnp.where(h_present, n_ion[dt.h_slots[1]], 0.0)
 
     lam3 = (THERMAL_DE_BROGLIE_CONST / (M_E_CGS * t)) ** 1.5
     h_minus = n_h_neutral * n_e * (lam3 / 4.0) * jnp.exp(
@@ -228,6 +241,8 @@ def solve_lte(temperatures, elemental_number_density, dt: DevicePlasmaTables):
     )
     h2_plus = n_h_neutral * n_h_plus / k_h2p * 1e-19
 
+    
+
     return PlasmaState(
         t=t,
         beta=beta,
@@ -237,6 +252,7 @@ def solve_lte(temperatures, elemental_number_density, dt: DevicePlasmaTables):
         ion_number_density=n_ion,
         level_number_density=n_level,
         number_density=n_elem,
+        h_neutral_density=n_h_neutral,
         h_minus_density=h_minus,
         h2_density=h2,
         h2_plus_density=h2_plus,

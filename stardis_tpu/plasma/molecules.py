@@ -190,7 +190,7 @@ class MoleculeLineData:
 
 
 def prepare_molecule_line_data(
-    atom_data, mt: MoleculeTables, nu_min, nu_max, shortlist=False
+    atom_data, mt: MoleculeTables, nu_min, nu_max
 ) -> MoleculeLineData:
     ll = atom_data.linelist_molecules
     if ll is None:
@@ -205,9 +205,20 @@ def prepare_molecule_line_data(
     ll = ll.sort_values("nu")
     ll = ll[(ll.nu >= nu_min) & (ll.nu <= nu_max)]
 
+    index_map = {name: i for i, name in enumerate(mt.names)}
     mol_index = np.array(
-        [mt.index_of(m) for m in ll.molecule.values], dtype=np.int64
+        [index_map.get(m, -1) for m in ll.molecule.values], dtype=np.int64
     )
+    # drop lines of unknown or excluded molecules ("assume no <molecule>",
+    # matching the density handling): their mass would be 0 -> inf Doppler
+    keep = (mol_index >= 0) & mt.included[np.maximum(mol_index, 0)]
+    if not keep.all():
+        logger.warning(
+            "Dropping %d molecular lines of excluded/unknown molecules",
+            int((~keep).sum()),
+        )
+    ll = ll[keep]
+    mol_index = mol_index[keep]
     return MoleculeLineData(
         nu=ll.nu.values.astype(float),
         molecule_index=mol_index,
@@ -278,7 +289,7 @@ def compute_molecule_line_quantities(
     # scaled 10^vdW law when the packed parameter is negative
     if "van_der_waals" in broadening_flags:
         vdw = jnp.asarray(mld.waals, dtype=dtype)[:, None]
-        h1 = state.ion_number_density[0]
+        h1 = state.h_neutral_density
         scaled = 10.0**vdw * (t[None, :] / 1e4) ** 0.38 * h1[None, :]
         gamma = gamma + jnp.where(vdw < 0, scaled, 0.0)
 

@@ -65,6 +65,8 @@ class PlasmaTables:
         e = int(np.searchsorted(self.zs, z))
         if e >= len(self.zs) or self.zs[e] != z:
             raise KeyError(f"element {z} not in plasma tables")
+        if not 0 <= ion < self.slot_index.shape[1]:
+            raise KeyError(f"ion ({z}, {ion}) not in plasma tables")
         s = int(self.slot_index[e, ion])
         if s < 0:
             raise KeyError(f"ion ({z}, {ion}) not in plasma tables")

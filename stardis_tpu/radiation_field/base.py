@@ -28,9 +28,24 @@ def create_stellar_radiation_field(tracing_nus, stellar_model, atom_data, config
     nus = np.atleast_1d(np.asarray(tracing_nus))
     plan = build_simulation_plan(config, atom_data, stellar_model, nus)
     f_nu, total, opacities_dict, i_nus, state, _ = run_simulation(plan)
+
+    # the pipeline computes on a descending grid; re-align every nu-axis
+    # output with the caller's ordering (reference contract: outputs follow
+    # the input tracing_nus)
+    order = np.argsort(np.argsort(-nus, kind="stable"), kind="stable")
+    f_nu = np.asarray(f_nu)[:, order]
+    total = np.asarray(total)[:, order]
+    opacities_dict = {
+        k: (np.asarray(v)[:, order] if np.ndim(v) == 2
+            and np.shape(v)[1] == len(nus) else v)
+        for k, v in opacities_dict.items()
+    }
+    if i_nus is not None:
+        i_nus = np.asarray(i_nus)[:, order, :]
+
     thetas, weights = gauss_legendre_thetas(int(config.no_of_thetas))
     return RadiationField(
-        frequencies=plan.tracing_nus,
+        frequencies=nus,
         opacities=Opacities(opacities_dict, total),
         f_nu=f_nu,
         thetas=thetas,

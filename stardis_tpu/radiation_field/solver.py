@@ -76,14 +76,13 @@ def _safe(tau):
     return jnp.where(tau == 0.0, 1.0, tau)
 
 
-def single_theta_trace(ray_dist, source, taus, inward_rays=False):
+def single_theta_trace(source, taus, inward_rays=False):
     """Intensity at every depth point for one ray angle.
 
     Parameters
     ----------
-    ray_dist : [G] path lengths between adjacent depth points along the ray
     source : [D, N] source function (D = G + 1)
-    taus : [G, N] segment optical depths (already includes ray_dist)
+    taus : [G, N] segment optical depths (path lengths already folded in)
     inward_rays : spherical chords get a surface->center sweep first
 
     Returns
@@ -101,7 +100,10 @@ def single_theta_trace(ray_dist, source, taus, inward_rays=False):
         # reference's wrap-around tau[g-1]/source[g-1] at g = 0
         tau_g = taus  # [G, N]
         tau_gm1 = jnp.roll(taus, 1, axis=0)  # tau[g-1], wraps at 0
-        s_gm1 = jnp.roll(s[:-1], 1, axis=0)  # source[g-1], wraps at 0
+        # source[g-1] with the reference's wrap: at g=0 it reads the FULL
+        # array's last element s[G] (numpy negative indexing at
+        # reference base.py:145-190), not s[G-1]
+        s_gm1 = jnp.roll(s, 1, axis=0)[:-1]
         s_g = s[:-1]
         s_gp1 = s[1:]
 
@@ -194,7 +196,7 @@ def raytrace(
 
     def one_theta(dist):
         taus = compute_taus(alphas, dist)
-        return single_theta_trace(dist, source, taus, inward_rays=inward_rays)
+        return single_theta_trace(source, taus, inward_rays=inward_rays)
 
     i_nus = jax.vmap(one_theta, in_axes=1, out_axes=0)(ray_distances)  # [T, D, N]
     f_nu = jnp.tensordot(jnp.asarray(weights, dtype=i_nus.dtype), i_nus, axes=1)

@@ -118,17 +118,17 @@ def test_weights_regimes():
     assert abs(w0a - w0b) < 1e-10  # O(tau^3) truncation
 
 
-@pytest.mark.parametrize("inward", [False, True])
+@pytest.mark.parametrize("inward", ["none", "chord", "through"])
 def test_trace_matches_numpy_oracle(inward):
     alphas, source, dist = _setup()
     taus = np.array(compute_taus(jnp.asarray(alphas), jnp.asarray(dist)))
-    if inward:
-        # emulate a spherical chord: zero the two innermost gaps
+    if inward == "chord":
+        # spherical chord missing the inner shells: innermost gaps zero
         taus[:2] = 0.0
+    inward = inward != "none"
     ours = np.asarray(
         single_theta_trace(
-            jnp.asarray(dist), jnp.asarray(source), jnp.asarray(taus),
-            inward_rays=inward,
+            jnp.asarray(source), jnp.asarray(taus), inward_rays=inward,
         )
     )
     oracle = numpy_reference_trace(dist, source, taus, inward_rays=inward)
@@ -146,7 +146,7 @@ def test_optically_thick_limit_blackbody():
     dist = np.full(n_depth - 1, 1e9)  # tau per gap = 100 -> very thick
     taus = np.array(compute_taus(jnp.asarray(alphas), jnp.asarray(dist)))
     ours = np.asarray(
-        single_theta_trace(jnp.asarray(dist), jnp.asarray(source), jnp.asarray(taus))
+        single_theta_trace(jnp.asarray(source), jnp.asarray(taus))
     )
     bb = source[0]
     np.testing.assert_allclose(ours[-1], bb, rtol=1e-8)
