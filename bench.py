@@ -75,6 +75,11 @@ def build_plan():
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs (and the driver's
+    # end-of-round invocation) skip the 3-5 minute remote XLA compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stardis_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from stardis_tpu.pipeline import (
