@@ -1,14 +1,18 @@
-"""Benchmark: Sim100AA-equivalent workload on the available accelerator.
+"""Benchmark: Sim100AA-shaped workload with a VALD-scale linelist.
 
-Mirrors the reference's largest asv workload (benchmarks/run_stardis.py
+Grid mirrors the reference's largest asv workload (benchmarks/run_stardis.py
 Sim100AA: 6500-6600 AA @ 0.01 AA = 10,000 lambda points x 56 depth x 20
-theta, hydrogen continuum + line opacity with all four broadening
-mechanisms).  The reference publishes no absolute numbers — its asv CI only
-gates relative regressions with an 1800 s timeout cap (BASELINE.md).  We
-therefore report achieved (lambda x depth) grid-cells/s and use the asv
-cap-implied floor (560,000 cells / 1800 s = 311 cells/s) as the baseline
-denominator: vs_baseline is a *lower bound* on the true speedup over the
-reference CPU path.
+theta).  The reference's dominant cost is the O(lines x depth x window)
+Voigt accumulation (calc_alan_entries, opacities_solvers/base.py:487-592),
+so the default workload attaches a 100k-line synthetic VALD list spanning
+the window — the builtin H list alone has ~1 line there and would measure
+only continuum + transfer.
+
+The reference publishes no absolute numbers — its asv CI only gates
+relative regressions with an 1800 s timeout cap (BASELINE.md).
+``vs_baseline`` is therefore a LOWER BOUND: achieved cells/s divided by the
+cap-implied floor (560,000 cells / 1800 s); the true speedup is higher but
+unmeasurable without running the reference.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -22,6 +26,17 @@ import time
 
 import numpy as np
 
+N_LINES = int(os.environ.get("BENCH_N_LINES", "100000"))
+
+# Branchless Humlicek-w4 Voigt (opacities/voigt.py) evaluates all four
+# regions per point: ~250 f32 FLOPs/eval counting exp/cos as 1 (hand count
+# over _cmul/_cdiv/Horner chains), plus ~10 for window masking and the
+# scatter-add operand.  TPU v5e VPU f32 peak ~= 8 sublanes x 128 lanes x 4
+# ALUs x 0.94 GHz ~= 3.9e12 FLOP/s (the MXU's 197 TFLOP/s bf16 does not
+# apply to this elementwise workload).
+FLOPS_PER_VOIGT_EVAL = 260.0
+V5E_VPU_F32_PEAK = 3.9e12
+
 
 def build_plan():
     import yaml
@@ -30,6 +45,7 @@ def build_plan():
     from stardis_tpu import units as u
     from stardis_tpu.io.synthetic import write_marcs_file
     from stardis_tpu.pipeline import build_simulation_plan
+    from bench_lines import synth_linelist
 
     tmpdir = tempfile.mkdtemp(prefix="stardis_bench_")
     model_path = os.path.join(tmpdir, "sun.mod")
@@ -55,6 +71,10 @@ def build_plan():
                     "quadratic_stark",
                     "van_der_waals",
                 ],
+                "vald_linelist": {
+                    "use_linelist": True,
+                    "use_vald_broadening": True,
+                },
             },
         },
         "no_of_thetas": 20,
@@ -64,6 +84,8 @@ def build_plan():
     with open(cfg_path, "w") as fh:
         yaml.safe_dump(config, fh)
     config, adata, stellar_model = parse_config_to_model(cfg_path)
+    if N_LINES:
+        synth_linelist(adata, N_LINES, lam_lo=6450.0, lam_hi=6650.0)
     lambdas = np.arange(6500.0, 6600.0, 0.01)  # 10,000 points (Sim100AA grid)
     nus = u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
     # f32 on the accelerator — the TPU-native precision
@@ -73,11 +95,29 @@ def build_plan():
     return plan
 
 
+def tier_histogram(window):
+    return {
+        k: (v.histogram() if hasattr(v, "histogram") else [(len(i), w) for i, w in v])
+        for k, v in window.items()
+    }
+
+
+def voigt_evals(window, n_depth):
+    """Voigt evaluation count per pipeline execution, from the tier plan."""
+    total = 0
+    for key, tiers in window.items():
+        if hasattr(tiers, "histogram"):  # BlockedTiers: pairs x block x W
+            total += sum(n * tiers.block * w for n, w in tiers.histogram())
+        else:
+            total += sum(len(idx) * n_depth * w for idx, w in tiers)
+    return total
+
+
 def main():
     import jax
 
     # persistent compilation cache: repeated bench runs (and the driver's
-    # end-of-round invocation) skip the 3-5 minute remote XLA compile
+    # end-of-round invocation) skip the multi-minute remote XLA compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/stardis_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -90,6 +130,7 @@ def main():
 
     plan = build_plan()
     n_cells = len(plan.tracing_nus) * len(plan.temperatures)
+    n_lines = plan.line_data.n_lines if plan.line_data is not None else 0
 
     temps = jnp.asarray(plan.temperatures)
     n_elem = jnp.asarray(plan.n_elem)
@@ -99,7 +140,8 @@ def main():
     jax.block_until_ready(state.electron_densities)
 
     window = line_window_tiers(plan, lq, state)
-    tier_info = {k: [(len(i), w) for i, w in v] for k, v in window.items()}
+    tier_info = tier_histogram(window)
+    n_evals = voigt_evals(window, len(plan.temperatures))
 
     stage2 = jax.jit(
         lambda s, q: stage_spectrum(plan, s, q, window=window, chunk=None)[0]
@@ -118,12 +160,26 @@ def main():
     wall = (time.perf_counter() - t0) / n_iter
 
     cells_per_s = n_cells / wall
+    lines_per_s = n_lines / wall
+    flops = n_evals * FLOPS_PER_VOIGT_EVAL / wall
+    mfu = flops / V5E_VPU_F32_PEAK
     baseline_floor = 560_000 / 1800.0  # asv Sim100AA timeout-cap floor
     result = {
-        "metric": "sim100aa_grid_cells_per_s",
+        "metric": "sim100aa_dense_grid_cells_per_s",
         "value": round(cells_per_s, 1),
-        "unit": "(lambda*depth) cells/s; wall %.3fs; tiers %s; %s"
-        % (wall, tier_info, jax.devices()[0].device_kind),
+        "unit": "(lambda*depth) cells/s; wall %.3fs; %d lines (%.0f lines/s); "
+        "%.2e voigt evals -> %.2e FLOP/s est = %.1f%% of v5e VPU f32 peak; "
+        "tiers %s; %s; vs_baseline is a LOWER BOUND (asv 1800s-cap floor)"
+        % (
+            wall,
+            n_lines,
+            lines_per_s,
+            n_evals,
+            flops,
+            100.0 * mfu,
+            tier_info,
+            jax.devices()[0].device_kind,
+        ),
         "vs_baseline": round(cells_per_s / baseline_floor, 1),
     }
     print(json.dumps(result))

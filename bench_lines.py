@@ -116,7 +116,10 @@ def main():
     jax.block_until_ready(state.electron_densities)
 
     window = line_window_tiers(plan, lq, state)
-    tier_info = {k: [(len(i), w) for i, w in v] for k, v in window.items()}
+    tier_info = {
+        k: (v.histogram() if hasattr(v, "histogram") else [(len(i), w) for i, w in v])
+        for k, v in window.items()
+    }
 
     stage2 = jax.jit(
         lambda s, q: stage_spectrum(plan, s, q, window=window, chunk=None)[0]

@@ -19,6 +19,8 @@ scratch arrays).  TPU-native formulation:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,6 +92,63 @@ def window_pixels_accuracy(alpha, gamma, doppler, d_nu, epsilon=1e-12):
 TIER_WINDOWS = (128, 512, 2048, 8192)
 
 
+@dataclasses.dataclass
+class BlockedTiers:
+    """Depth-blocked window tiers.
+
+    ``tiers`` is a list of ``(line_idx, block_idx, window)`` where
+    ``(line_idx[i], block_idx[i])`` addresses one (line, depth-block) pair
+    and ``window`` is that tier's static full window width in pixels.
+    ``block`` is the depth-block size; ``n_blocks * block`` is the padded
+    depth count.
+    """
+
+    tiers: list
+    block: int
+    n_blocks: int
+
+    def histogram(self):
+        return [(len(li), w) for li, bi, w in self.tiers]
+
+
+def assign_window_tiers_blocked(win_2d, n_nu, block: int = 8):
+    """Host-side: bucket (line, depth-block) pairs into window tiers.
+
+    The per-line tier assignment (assign_window_tiers) pays the depth-max
+    window at EVERY depth: the line alpha — hence the reference's adaptive
+    window (reference opacities_solvers/base.py:561-575) — grows by orders
+    of magnitude toward the deep layers, so one deep-forming point drags the
+    whole line into a wide tier.  Blocking the depth axis into chunks of
+    ``block`` points lets the shallow blocks of the same line stay in the
+    cheap 128-pixel tier.  The partition over (line, depth, pixel) stays
+    exact: each (line, depth) belongs to exactly one block and each block to
+    exactly one tier.
+    """
+    win = np.asarray(win_2d)
+    n_lines, n_depth = win.shape
+    n_blocks = int(np.ceil(n_depth / block))
+    d_pad = n_blocks * block
+    if d_pad != n_depth:
+        win = np.pad(win, ((0, 0), (0, d_pad - n_depth)))
+    win_blk = win.reshape(n_lines, n_blocks, block).max(axis=2)  # [L, NB]
+
+    full = int(np.ceil(2 * n_nu / 128.0) * 128)
+    tiers = []
+    assigned = np.zeros_like(win_blk, dtype=bool)
+    for w in TIER_WINDOWS:
+        if w >= full:
+            break
+        sel = (~assigned) & (2 * np.ceil(win_blk) <= w)
+        li, bi = np.nonzero(sel)
+        if len(li):
+            tiers.append((li.astype(np.int64), bi.astype(np.int64), int(w)))
+        assigned |= sel
+    li, bi = np.nonzero(~assigned)
+    if len(li):
+        tiers.append((li.astype(np.int64), bi.astype(np.int64), full))
+    return BlockedTiers(tiers=tiers, block=int(block), n_blocks=n_blocks)
+
+
 def assign_window_tiers(win_pix_per_line, n_nu):
     """Host-side: bucket lines into window tiers by their (depth-max)
     adaptive half-window.
@@ -127,6 +186,89 @@ def choose_window(win_pix_max, n_nu):
     return min(w, int(np.ceil(2 * n_nu / 128.0) * 128))
 
 
+def _accumulate_dense(
+    tracing_nus_desc,  # [N] descending (device; local shard under shard_map)
+    p_nu,  # [P]
+    p_center,  # [P] center pixel (local coordinates under sharding)
+    p_alpha,  # [P, B]
+    p_gamma,  # [P, B]
+    p_doppler,  # [P, B]
+    p_eps,  # [P, B] per-pair accuracy epsilon (ignored in reference mode)
+    d_nu: float,
+    chunk: int | None = None,
+    memory_budget_bytes: int = 1 << 29,
+    window_mode: str = "reference",
+):
+    """Dense full-grid accumulation: sum over pairs of window-masked Voigt
+    profiles evaluated at EVERY grid point -> [B, N].
+
+    Used for lines whose window covers the whole (local) grid: a windowed
+    scatter there evaluates a 2*N-wide padded window per line AND pays the
+    scatter's per-row index cost; dense evaluation does N evals per line and
+    reduces over the chunk axis with plain adds (VPU-friendly, no scatter).
+    The window mask is still applied, so the result is bit-identical in
+    content to the scatter path (up to summation order).
+    """
+    n_nu = tracing_nus_desc.shape[0]
+    n_pairs, bdim = p_alpha.shape
+    dtype = p_alpha.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    c = chunk
+    if c is None:
+        c = max(8, memory_budget_bytes // (4 * bdim * n_nu * itemsize))
+    c = int(min(c, max(8, n_pairs)))
+    pad = (-n_pairs) % c
+
+    def pad1(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, dtype=x.dtype)]
+        ) if pad else x
+
+    p_nu = pad1(p_nu, 0.0)
+    p_center = pad1(p_center, -(10 * n_nu))
+    p_alpha = pad1(p_alpha, 0.0)
+    p_gamma = pad1(p_gamma, 1.0)
+    p_doppler = pad1(p_doppler, 1.0)
+    p_eps = pad1(p_eps, 1.0)
+    n_chunks = (n_pairs + pad) // c
+
+    cols = jnp.arange(n_nu)
+
+    def body(acc, data):
+        c_nu, c_center, c_alpha, c_gamma, c_doppler, c_eps = data
+        off = cols[None, :] - c_center[:, None]  # [C, N] pixel offsets
+        dnu = tracing_nus_desc[None, :] - c_nu[:, None]  # [C, N]
+        if window_mode == "accuracy":
+            win = window_pixels_accuracy(
+                c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
+            )  # [C, B]
+        else:
+            win = window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
+        iw = jnp.floor(win)
+        within = (off[:, None, :] >= -iw[:, :, None]) & (
+            off[:, None, :] < iw[:, :, None]
+        )  # [C, B, N]
+        phi = voigt_profile(
+            dnu[:, None, :], c_doppler[:, :, None], c_gamma[:, :, None]
+        )
+        contrib = jnp.where(within, phi * c_alpha[:, :, None], 0.0)
+        return acc + contrib.sum(axis=0), None
+
+    acc0 = jnp.zeros((bdim, n_nu), dtype=dtype) + (
+        tracing_nus_desc[None, :] * 0.0
+    ).astype(dtype)
+    chunks = (
+        p_nu.reshape(n_chunks, c),
+        p_center.reshape(n_chunks, c),
+        p_alpha.reshape(n_chunks, c, bdim),
+        p_gamma.reshape(n_chunks, c, bdim),
+        p_doppler.reshape(n_chunks, c, bdim),
+        p_eps.reshape(n_chunks, c, bdim),
+    )
+    acc, _ = jax.lax.scan(body, acc0, chunks)
+    return acc  # [B, N]
+
+
 def accumulate_line_opacity(
     tracing_nus_desc,  # [N] descending, device array
     line_nu,  # [L]
@@ -149,13 +291,30 @@ def accumulate_line_opacity(
     n_nu = tracing_nus_desc.shape[0]
     n_lines, n_depth = alpha.shape
     dtype = alpha.dtype
+
+    if n_lines == 0:
+        return jnp.zeros((n_depth, n_nu), dtype=dtype)
+
+    if window >= n_nu:
+        # the window (nearly) covers the whole (local) grid: dense
+        # evaluation does n_nu evals/line with plain adds instead of a
+        # window-wide scatter (grid-covering windows are padded to 2*n_nu)
+        eps = jnp.asarray(window_epsilon, dtype=dtype)
+        p_eps = jnp.broadcast_to(eps, (n_lines, n_depth))
+        return _accumulate_dense(
+            tracing_nus_desc,
+            jnp.asarray(line_nu, dtype=dtype),
+            jnp.asarray(center_idx),
+            alpha, gamma, doppler, p_eps,
+            d_nu=d_nu, chunk=chunk,
+            memory_budget_bytes=memory_budget_bytes,
+            window_mode=window_mode,
+        )
+
     if chunk is None:
         itemsize = jnp.dtype(dtype).itemsize
         chunk = max(8, memory_budget_bytes // (4 * n_depth * window * itemsize))
         chunk = int(min(chunk, max(8, n_lines)))
-
-    if n_lines == 0:
-        return jnp.zeros((n_depth, n_nu), dtype=dtype)
 
     # pad lines to a chunk multiple; padded entries get alpha=0 and an
     # out-of-range center so their (masked) contributions vanish
@@ -255,6 +414,182 @@ def accumulate_line_opacity_tiered(
             window_epsilon=window_epsilon,
         )
     return out
+
+
+def accumulate_line_opacity_blocked(
+    tracing_nus_desc,  # [N] descending, device array (or local shard)
+    line_nu,  # [L] device
+    center_idx,  # [L] device (already offset for sharded execution)
+    alpha,  # [L, D]
+    gamma,  # [L, D]
+    doppler,  # [L, D]
+    blocked: BlockedTiers,
+    d_nu: float,
+    chunk: int | None = None,
+    memory_budget_bytes: int = 1 << 29,
+    window_mode: str = "reference",
+    window_epsilon=1e-12,  # scalar or per-depth [1, D] array
+):
+    """Depth-blocked tiered accumulation: each (line, depth-block) pair runs
+    at its own tier's window width.  Work per tier is [pairs, block, W_k]
+    Voigt evaluations; contributions scatter-add into a flat
+    [N * n_blocks, block] accumulator (row = pixel * n_blocks + block), an
+    exact partition of the (line, depth, pixel) contribution set — sharded
+    and per-line-tier results agree to summation order.
+    """
+    n_nu = tracing_nus_desc.shape[0]
+    n_lines, n_depth = alpha.shape
+    dtype = alpha.dtype
+    blk, n_blocks = blocked.block, blocked.n_blocks
+    d_pad = blk * n_blocks
+
+    def to_blocks(x, fill):
+        if d_pad != n_depth:
+            x = jnp.concatenate(
+                [x, jnp.full((n_lines, d_pad - n_depth), fill, dtype=x.dtype)],
+                axis=1,
+            )
+        return x.reshape(n_lines, n_blocks, blk)
+
+    # padded depths: alpha=0 (no contribution), widths 1 (finite Voigt)
+    alpha_b = to_blocks(alpha, 0.0)
+    gamma_b = to_blocks(gamma, 1.0)
+    doppler_b = to_blocks(doppler, 1.0)
+
+    eps_b = window_epsilon
+    per_depth_eps = hasattr(window_epsilon, "shape") and np.prod(
+        window_epsilon.shape
+    ) > 1
+    if per_depth_eps:
+        eps_flat = jnp.reshape(window_epsilon, (-1,))
+        if d_pad != n_depth:
+            eps_flat = jnp.concatenate(
+                [eps_flat, jnp.full((d_pad - n_depth,), jnp.inf, eps_flat.dtype)]
+            )
+        eps_b = eps_flat.reshape(n_blocks, blk)  # [NB, B]
+
+    itemsize = jnp.dtype(dtype).itemsize
+
+    # accumulator derived from the grid so it inherits the grid's manual-axes
+    # variance under shard_map (see accumulate_line_opacity)
+    acc = jnp.zeros((n_nu, n_blocks, blk), dtype=dtype) + (
+        tracing_nus_desc[:, None, None] * 0.0
+    ).astype(dtype)
+    acc = acc.reshape(n_nu * n_blocks, blk)
+
+    for line_idx, block_idx, w in blocked.tiers:
+        n_pairs = len(line_idx)
+        if n_pairs == 0:
+            continue
+        if w >= n_nu:
+            # near/fully grid-covering tier: dense evaluation per
+            # depth-block group — no scatter (the narrow [*, blk] scatter
+            # rows dominate cost otherwise) and n_nu evals per pair instead
+            # of w (the grid-covering tier pads w to 2*n_nu)
+            for j in range(n_blocks):
+                m = block_idx == j
+                if not m.any():
+                    continue
+                li_dev = jnp.asarray(line_idx[m])
+                if per_depth_eps:
+                    p_eps = jnp.broadcast_to(
+                        eps_b[j][None, :], (int(m.sum()), blk)
+                    ).astype(dtype)
+                else:
+                    p_eps = jnp.full(
+                        (int(m.sum()), blk), eps_b, dtype=dtype
+                    )
+                dense = _accumulate_dense(
+                    tracing_nus_desc,
+                    line_nu[li_dev],
+                    center_idx[li_dev],
+                    alpha_b[li_dev, j],
+                    gamma_b[li_dev, j],
+                    doppler_b[li_dev, j],
+                    p_eps,
+                    d_nu=d_nu,
+                    chunk=chunk,
+                    memory_budget_bytes=memory_budget_bytes,
+                    window_mode=window_mode,
+                )  # [blk, N]
+                acc = (
+                    acc.reshape(n_nu, n_blocks, blk)
+                    .at[:, j, :]
+                    .add(dense.T)
+                    .reshape(n_nu * n_blocks, blk)
+                )
+            continue
+        c = chunk
+        if c is None:
+            c = max(8, memory_budget_bytes // (4 * blk * w * itemsize))
+        c = int(min(c, max(8, n_pairs)))
+        pad = (-n_pairs) % c
+        li = np.concatenate([line_idx, np.zeros(pad, np.int64)]) if pad else line_idx
+        bi = np.concatenate([block_idx, np.zeros(pad, np.int64)]) if pad else block_idx
+        li_dev = jnp.asarray(li)
+        bi_dev = jnp.asarray(bi)
+
+        p_alpha = alpha_b[li_dev, bi_dev]  # [P, B]
+        p_gamma = gamma_b[li_dev, bi_dev]
+        p_doppler = doppler_b[li_dev, bi_dev]
+        p_nu = line_nu[li_dev]
+        p_center = center_idx[li_dev]
+        if pad:
+            # padded pairs: zero alpha and an out-of-grid center
+            live = jnp.arange(n_pairs + pad) < n_pairs
+            p_alpha = jnp.where(live[:, None], p_alpha, 0.0)
+            p_center = jnp.where(live, p_center, -(10 * w))
+
+        n_chunks = (n_pairs + pad) // c
+        offsets = jnp.arange(w) - w // 2  # [W]
+
+        def chunk_body(acc_in, data, _w=w, _offsets=offsets):
+            c_nu, c_center, c_block, c_alpha, c_gamma, c_doppler, c_eps = data
+            idx_raw = c_center[:, None] + _offsets[None, :]  # [C, W]
+            in_grid = (idx_raw >= 0) & (idx_raw < n_nu)
+            idx = jnp.clip(idx_raw, 0, n_nu - 1)
+            dnu = tracing_nus_desc[idx] - c_nu[:, None]  # [C, W]
+
+            if window_mode == "accuracy":
+                win = window_pixels_accuracy(
+                    c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
+                )  # [C, B]
+            else:
+                win = window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
+            iw = jnp.floor(win)
+            within = (_offsets[None, None, :] >= -iw[:, :, None]) & (
+                _offsets[None, None, :] < iw[:, :, None]
+            )  # [C, B, W]
+            mask = within & in_grid[:, None, :]
+
+            phi = voigt_profile(
+                dnu[:, None, :], c_doppler[:, :, None], c_gamma[:, :, None]
+            )  # [C, B, W]
+            contrib = jnp.where(mask, phi * c_alpha[:, :, None], 0.0)
+
+            updates = contrib.transpose(0, 2, 1).reshape(-1, blk)  # [C*W, B]
+            rows = (idx * n_blocks + c_block[:, None]).reshape(-1)
+            return acc_in.at[rows].add(updates, mode="drop"), None
+
+        if per_depth_eps:
+            eps_pairs = eps_b[bi_dev].reshape(n_chunks, c, blk)
+        else:
+            eps_pairs = jnp.broadcast_to(
+                jnp.asarray(eps_b, dtype=dtype), (n_chunks, c, 1)
+            )
+        chunks = (
+            p_nu.reshape(n_chunks, c),
+            p_center.reshape(n_chunks, c),
+            bi_dev.reshape(n_chunks, c),
+            p_alpha.reshape(n_chunks, c, blk),
+            p_gamma.reshape(n_chunks, c, blk),
+            p_doppler.reshape(n_chunks, c, blk),
+            eps_pairs,
+        )
+        acc, _ = jax.lax.scan(chunk_body, acc, chunks)
+
+    out = acc.reshape(n_nu, d_pad)[:, :n_depth]
+    return out.T  # [D, N]
 
 
 def accumulate_line_opacity_reference(

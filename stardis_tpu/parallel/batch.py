@@ -92,20 +92,30 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
 
     validate_line_quants(lq)
 
-    # window tiers from the batch-max adaptive window per line
+    # window tiers from the batch-max adaptive window per line (the tier
+    # index arrays must be batch-independent; CLAUDE.md invariant — with
+    # depth blocking they are per-(line, depth-block), still batch-free)
     if lq:
         from stardis_tpu.opacities.line_kernel import (
             assign_window_tiers,
+            assign_window_tiers_blocked,
             window_pixels,
         )
 
         window = {}
         for key, (alpha, gamma, doppler) in lq.items():  # each [B, L, D]
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
-            win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))
-            window[key] = assign_window_tiers(
-                win_per_line, len(plan.tracing_nus)
-            )
+            if plan.window_block > 0:
+                win_line_depth = np.asarray(jnp.max(win, axis=0))  # [L, D]
+                window[key] = assign_window_tiers_blocked(
+                    win_line_depth, len(plan.tracing_nus),
+                    block=plan.window_block,
+                )
+            else:
+                win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))
+                window[key] = assign_window_tiers(
+                    win_per_line, len(plan.tracing_nus)
+                )
     else:
         window = 0
 

@@ -27,7 +27,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from stardis_tpu.opacities.line_kernel import (
+    BlockedTiers,
     accumulate_line_opacity,
+    accumulate_line_opacity_blocked,
     accumulate_line_opacity_tiered,
     line_center_indices,
 )
@@ -123,7 +125,14 @@ def shard_spectrum(
         for key, (alpha, gamma, doppler) in (lq_rep or {}).items():
             line_nu_dev, centers_dev = line_sets[key]
             spec = window[key] if isinstance(window, dict) else window
-            if isinstance(spec, (list, tuple)):
+            if isinstance(spec, BlockedTiers):
+                alpha_line = accumulate_line_opacity_blocked(
+                    nus_local, line_nu_dev, centers_dev - offset,
+                    alpha, gamma, doppler,
+                    blocked=spec, d_nu=plan.d_nu, chunk=chunk,
+                    window_mode=plan.window_mode, window_epsilon=eps,
+                )
+            elif isinstance(spec, (list, tuple)):
                 alpha_line = accumulate_line_opacity_tiered(
                     nus_local, line_nu_dev, centers_dev - offset,
                     alpha, gamma, doppler,

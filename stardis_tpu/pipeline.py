@@ -28,9 +28,12 @@ import numpy as np
 from stardis_tpu.opacities import continuum as cont
 from stardis_tpu.opacities.file_tables import sigma_file
 from stardis_tpu.opacities.line_kernel import (
+    BlockedTiers,
     accumulate_line_opacity,
+    accumulate_line_opacity_blocked,
     accumulate_line_opacity_tiered,
     assign_window_tiers,
+    assign_window_tiers_blocked,
     choose_window,
     grid_min_step,
     line_center_indices,
@@ -89,6 +92,7 @@ class SimulationPlan:
     d_nu: float = 0.0
     window_mode: str = "reference"
     window_epsilon: float = 1e-4
+    window_block: int = 8  # depth-block size for tiering; 0 = per-line tiers
     molecule_tables: object | None = None  # plasma.molecules.MoleculeTables
     molecule_line_data: object | None = None  # plasma.molecules.MoleculeLineData
 
@@ -236,6 +240,7 @@ def build_simulation_plan(
         d_nu=grid_min_step(tracing_nus),
         window_mode=str(line_cfg.get("window_mode", "reference")),
         window_epsilon=float(line_cfg.get("window_epsilon", 1e-4)),
+        window_block=int(line_cfg.get("window_block", 8)),
         molecule_tables=molecule_tables,
         molecule_line_data=molecule_line_data,
     )
@@ -347,8 +352,13 @@ def line_window_tiers(plan, line_quants, state=None):
             )
         else:
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
-        win_per_line = np.asarray(_jnp.max(win, axis=1))
-        tiers[key] = assign_window_tiers(win_per_line, n_nu)
+        if plan.window_block > 0:
+            tiers[key] = assign_window_tiers_blocked(
+                np.asarray(win), n_nu, block=plan.window_block
+            )
+        else:
+            win_per_line = np.asarray(_jnp.max(win, axis=1))
+            tiers[key] = assign_window_tiers(win_per_line, n_nu)
     return tiers
 
 
@@ -444,6 +454,13 @@ def stage_spectrum(
         line_nu_dev = jnp.asarray(line_nus_host, dtype=alpha.dtype)
         centers_dev = jnp.asarray(centers)
         spec = window[key] if isinstance(window, dict) else window
+        if isinstance(spec, BlockedTiers):
+            return accumulate_line_opacity_blocked(
+                tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
+                blocked=spec, d_nu=plan.d_nu, chunk=chunk,
+                window_mode=plan.window_mode,
+                window_epsilon=eps,
+            )
         if isinstance(spec, (list, tuple)):
             return accumulate_line_opacity_tiered(
                 tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,

@@ -6,10 +6,13 @@ import jax.numpy as jnp  # noqa: E402
 
 from stardis_tpu.opacities.line_kernel import (
     accumulate_line_opacity,
+    accumulate_line_opacity_blocked,
     accumulate_line_opacity_reference,
+    assign_window_tiers_blocked,
     choose_window,
     grid_min_step,
     line_center_indices,
+    window_pixels,
 )
 
 
@@ -80,6 +83,66 @@ def test_kernel_chunk_invariance():
     r1 = accumulate_line_opacity(*args, window=window, d_nu=d_nu, chunk=7)
     r2 = accumulate_line_opacity(*args, window=window, d_nu=d_nu, chunk=50)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12)
+
+
+@pytest.mark.parametrize("strong", [False, True])
+@pytest.mark.parametrize("block", [3, 8])
+def test_blocked_kernel_matches_numpy_oracle(strong, block):
+    # n_depth deliberately not a multiple of block to exercise depth padding
+    nus, line_nu, alpha, gamma, doppler = _random_setup(
+        n_lines=37, n_depth=13, strong=strong
+    )
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, len(nus), block=block)
+    assert blocked.n_blocks == int(np.ceil(13 / block))
+
+    result = accumulate_line_opacity_blocked(
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+        blocked=blocked,
+        d_nu=d_nu,
+        chunk=16,
+    )
+    oracle = accumulate_line_opacity_reference(nus, line_nu, alpha, gamma, doppler)
+    np.testing.assert_allclose(np.asarray(result), oracle, rtol=5e-4, atol=1e-30)
+
+
+def test_blocked_exact_partition_vs_single_window():
+    """Blocked tiers must reproduce the single-window kernel exactly (up to
+    summation order): the partition over (line, depth, pixel) is exact."""
+    nus, line_nu, alpha, gamma, doppler = _random_setup(n_lines=50, n_depth=12)
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    window = choose_window(win.max(), len(nus))
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    single = accumulate_line_opacity(*args, window=window, d_nu=d_nu, chunk=50)
+    blocked = assign_window_tiers_blocked(win, len(nus), block=4)
+    tiered = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiered), np.asarray(single), rtol=1e-12, atol=1e-300
+    )
 
 
 def test_line_center_indices_descending_grid():

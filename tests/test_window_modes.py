@@ -98,6 +98,8 @@ def test_accuracy_mode_matches_reference_windows(vald_setup):
     # largest tier
     def biggest_tier_count(w):
         tiers = w["atomic"]
+        if hasattr(tiers, "histogram"):  # BlockedTiers: count wide pairs
+            return sum(n for n, width in tiers.histogram() if width >= 2048)
         return len(tiers[-1][0]) if tiers[-1][1] >= 2048 else 0
 
     assert biggest_tier_count(w_acc) < biggest_tier_count(w_ref)
