@@ -11,11 +11,17 @@ from first principles:
   Johnson (1972, ApJ 174, 227) Gaunt factors — accurate to <1% for low
   series members (f(1->2)=0.4162, f(2->3)=0.6407).
 * He I / He II level scaffolding (low-lying terms; He II hydrogenic).
-* NIST ionization energies for stages I-III of Z <= 30, with ground-term
-  statistical weights as single-level partition functions.
+* NIST ionization energies for stages I-III of Z <= 30.
+* NIST ASD low-lying level/term tables for the dominant electron donors
+  (Na, Mg, Al, Si, K, Ca, Ti, Cr, Mn, Fe, Ni — neutral and first ion;
+  atom_data/nist_levels.py); other metals fall back to ground-term-only
+  partition functions.
+* a transcribed list of well-known strong solar optical lines
+  (atom_data/solar_lines.py) attached as a VALD-style linelist.
 
-Documented divergence: metal partition functions are ground-term-only and no
-metal lines are included — load a converted carsus file for full linelists.
+Documented divergence: the level/line tables are NIST/VALD transcriptions
+of the strongest contributors, not the full kurucz_cd23_chianti dataset —
+load a converted carsus file (atom_data/convert.py) for full linelists.
 """
 
 from __future__ import annotations
@@ -213,13 +219,22 @@ def build_builtin_atom_data(
             add_level(2, 1, i, e, int(gg), metastable=(i == 0))
         add_level(2, 2, 0, 0.0, 1, metastable=True)
 
+    from stardis_tpu.atom_data.nist_levels import NIST_METAL_LEVELS_EV
+
     for z in zs:
         if z <= 2:
             continue
         gs = GROUND_G.get(z, [1, 1, 1])
         n_stages = len(NIST_IONIZATION_EV[z])
         for ion in range(min(n_stages + 1, len(gs))):
-            add_level(z, ion, 0, 0.0, gs[ion], metastable=True)
+            metal_levels = NIST_METAL_LEVELS_EV.get((z, ion))
+            if metal_levels is not None:
+                for i, (e_ev, gg) in enumerate(metal_levels):
+                    add_level(
+                        z, ion, i, e_ev * EV_TO_ERG, gg, metastable=(i == 0)
+                    )
+            else:
+                add_level(z, ion, 0, 0.0, gs[ion], metastable=True)
 
     levels = pd.DataFrame(
         {"energy": lev_e, "g": lev_g, "metastable": lev_meta},
@@ -257,6 +272,9 @@ def build_builtin_atom_data(
 
     linelist_atoms = None
     if include_linelists:
+        from stardis_tpu.atom_data.solar_lines import builtin_solar_linelist
+
+        metal_lines = builtin_solar_linelist(max_atomic_number)
         g_lo = 2 * (lines.level_number_lower.values + 1) ** 2
         j_lo = (g_lo - 1) / 2.0
         g_up = 2 * (lines.level_number_upper.values + 1) ** 2
@@ -281,6 +299,9 @@ def build_builtin_atom_data(
                 "stark": np.zeros(len(lines)),
                 "waals": np.zeros(len(lines)),
             }
+        )
+        linelist_atoms = pd.concat(
+            [linelist_atoms, metal_lines], ignore_index=True
         )
 
     molecule_data = build_demo_molecule_data() if include_molecules else None

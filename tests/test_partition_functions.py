@@ -1,0 +1,90 @@
+"""Partition-function fidelity of the builtin NIST level tables.
+
+Round-1 verdict: ground-term-only metal partition functions made U(T) for
+the dominant electron donors wrong at the 10-50% level (U(Fe I, 5777 K)=25
+'only by luck').  These tests pin U(5777 K) for every species with a
+transcribed NIST table against published ranges (Gray 2005 App. D, Irwin
+1981, Allen), and check the device path agrees with the host sum.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from stardis_tpu.atom_data.builtin import build_builtin_atom_data
+from stardis_tpu.atom_data.nist_levels import (
+    NIST_METAL_LEVELS_EV,
+    PUBLISHED_U_5777K_RANGES,
+)
+from stardis_tpu.constants import K_B_CGS
+from stardis_tpu.plasma.lte import device_tables, solve_lte
+from stardis_tpu.plasma.tables import build_plasma_tables
+
+T_SUN = 5777.0
+
+
+@pytest.fixture(scope="module")
+def tables():
+    adata = build_builtin_atom_data(30)
+    return build_plasma_tables(adata)
+
+
+def host_partition_function(tables, z, ion, temp):
+    slot = tables.slot_of(z, ion)
+    sel = tables.level_slot == slot
+    return float(
+        (
+            tables.level_g[sel]
+            * np.exp(-tables.level_energy[sel] / (K_B_CGS * temp))
+        ).sum()
+    )
+
+
+@pytest.mark.parametrize("species", sorted(PUBLISHED_U_5777K_RANGES))
+def test_u_5777_in_published_range(tables, species):
+    z, ion = species
+    lo, hi = PUBLISHED_U_5777K_RANGES[species]
+    u = host_partition_function(tables, z, ion, T_SUN)
+    assert lo <= u <= hi, (
+        f"U(Z={z}, ion={ion}, 5777K) = {u:.2f} outside published "
+        f"range [{lo}, {hi}]"
+    )
+
+
+def test_levels_sorted_and_ground_at_zero():
+    for (z, ion), levels in NIST_METAL_LEVELS_EV.items():
+        energies = [e for e, g in levels]
+        assert energies[0] == 0.0, (z, ion)
+        assert energies == sorted(energies), (z, ion)
+        assert all(g >= 1 for _, g in levels), (z, ion)
+
+
+def test_device_partition_function_matches_host(tables):
+    """solve_lte's partition functions must equal the host Boltzmann sum."""
+    dt = device_tables(tables)
+    temps = jnp.asarray([4000.0, T_SUN, 9000.0])
+    # a thin hydrogen-dominated gas; exact densities don't matter for U
+    n_elem = jnp.full((tables.n_elements, 3), 1e4)
+    e_h = int(np.searchsorted(tables.zs, 1))
+    n_elem = n_elem.at[e_h].set(1e12)
+    state = jax.jit(lambda t, n: solve_lte(t, n, dt))(temps, n_elem)
+    u_dev = np.asarray(state.partition_function)  # [S, D]
+    for (z, ion) in PUBLISHED_U_5777K_RANGES:
+        slot = tables.slot_of(z, ion)
+        for d, temp in enumerate([4000.0, T_SUN, 9000.0]):
+            u_host = host_partition_function(tables, z, ion, float(temp))
+            np.testing.assert_allclose(
+                u_dev[slot, d], u_host, rtol=1e-6,
+                err_msg=f"(Z={z}, ion={ion}, T={temp})",
+            )
+
+
+def test_fe_i_u_beats_ground_term_only(tables):
+    """The round-1 failure mode: U(Fe I) pinned at g0=25 for all T."""
+    u_cool = host_partition_function(tables, 26, 0, 4000.0)
+    u_sun = host_partition_function(tables, 26, 0, T_SUN)
+    u_hot = host_partition_function(tables, 26, 0, 8000.0)
+    assert u_cool < u_sun < u_hot  # T-dependence exists
+    assert u_sun > 26.0  # excited terms contribute beyond g0=25
