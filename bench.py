@@ -102,14 +102,19 @@ def tier_histogram(window):
     }
 
 
-def voigt_evals(window, n_depth):
-    """Voigt evaluation count per pipeline execution, from the tier plan."""
+def voigt_evals(window, n_depth, n_nu):
+    """Voigt evaluation count per pipeline execution, from the tier plan.
+    Tiers with w >= n_nu run the dense full-grid path (n_nu evals/pair)."""
     total = 0
     for key, tiers in window.items():
         if hasattr(tiers, "histogram"):  # BlockedTiers: pairs x block x W
-            total += sum(n * tiers.block * w for n, w in tiers.histogram())
+            total += sum(
+                n * tiers.block * min(w, n_nu) for n, w in tiers.histogram()
+            )
         else:
-            total += sum(len(idx) * n_depth * w for idx, w in tiers)
+            total += sum(
+                len(idx) * n_depth * min(w, n_nu) for idx, w in tiers
+            )
     return total
 
 
@@ -141,7 +146,9 @@ def main():
 
     window = line_window_tiers(plan, lq, state)
     tier_info = tier_histogram(window)
-    n_evals = voigt_evals(window, len(plan.temperatures))
+    n_evals = voigt_evals(
+        window, len(plan.temperatures), len(plan.tracing_nus)
+    )
 
     stage2 = jax.jit(
         lambda s, q: stage_spectrum(plan, s, q, window=window, chunk=None)[0]

@@ -20,9 +20,11 @@ see SURVEY.md §2.8).  Logical tables follow the carsus schema:
                         partition functions / dissociation energies
 
 Storage is plain HDF5 via h5py (documented divergence: carsus writes
-pandas/pytables files, which require the unavailable ``tables`` package;
-``from_hdf`` reads both this native layout and, best-effort, the pytables
-fixed layout).
+pandas/pytables files, which require the ``tables`` package at read time).
+``from_hdf`` reads ONLY the native layout; carsus files must be converted
+once with ``stardis_tpu.atom_data.convert`` (CLI:
+``python -m stardis_tpu.atom_data.convert carsus.h5 native.h5``), run in an
+environment where pytables exists.
 """
 
 from __future__ import annotations

@@ -1,0 +1,258 @@
+"""carsus/TARDIS pytables atom-data -> stardis_tpu native HDF5 converter.
+
+The reference consumes ``kurucz_cd23_chianti_H_He.h5`` (a pandas/pytables
+HDFStore written by carsus; reference io/base.py:67, conftest.py:60-62).
+stardis_tpu stores atom data in a plain h5py layout (atom_data/base.py) so
+the runtime does not depend on the ``tables`` package.  This module bridges
+the two: run it wherever pytables IS installed, ship the converted file.
+
+    python -m stardis_tpu.atom_data.convert kurucz_cd23.h5 native.h5
+
+Field mapping (carsus store key -> native table, with unit conversions):
+
+    /atom_data            symbol, mass [u]      -> mass [g] (x AMU)
+    /ionization_data      ionization_energy [eV]-> [erg]
+    /levels               energy [eV], g,       -> energy [erg]
+                          metastable
+    /lines                wavelength [AA], f_lu -> nu [Hz], f_lu, A_ul [1/s],
+                          (A_ul or gf variants)    wavelength_cm
+    /linelist_atoms       VALD long/short form  -> passed through unchanged
+    /linelist_molecules                            (AA / eV / log-gamma cols,
+                                                   reference plasma/base.py:216-232)
+    /molecules/equilibrium_constants  log10 Kp [Pa] vs T -> MoleculeData
+    /molecules/partition_functions    U vs T
+    /molecules/dissociation_energies  Ion1/Ion2 + D0 [eV]
+
+The store-reading shell requires pytables; the frame mapping itself is pure
+pandas and unit-tested without it (tests/test_convert.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+from stardis_tpu.constants import AMU_CGS, C_CGS, EV_TO_ERG
+from stardis_tpu.atom_data.base import (
+    AtomData,
+    MoleculeData,
+    einstein_a_from_f_lu,
+)
+
+#: HDFStore keys probed for each logical table (first hit wins) — carsus
+#: has shuffled a few of these across versions.
+KEY_ALIASES = {
+    "atom_data": ("atom_data", "atom_masses", "basic_atom_data"),
+    "ionization_data": ("ionization_data",),
+    "levels": ("levels", "levels_data"),
+    "lines": ("lines", "lines_data"),
+    "linelist_atoms": ("linelist_atoms",),
+    "linelist_molecules": ("linelist_molecules",),
+    "molecule_eq": (
+        "molecules/equilibrium_constants",
+        "molecule_data/equilibrium_constants",
+    ),
+    "molecule_pf": (
+        "molecules/partition_functions",
+        "molecule_data/partition_functions",
+    ),
+    "molecule_de": (
+        "molecules/dissociation_energies",
+        "molecule_data/dissociation_energies",
+    ),
+}
+
+
+def convert_frames(frames: dict) -> AtomData:
+    """Map carsus-schema DataFrames to a native AtomData (pure pandas).
+
+    ``frames`` keys follow KEY_ALIASES' logical names; only ``atom_data``,
+    ``ionization_data`` and ``levels`` are required.
+    """
+    atoms = frames["atom_data"].copy()
+    if "symbol" not in atoms.columns:
+        raise ValueError("atom_data table lacks a 'symbol' column")
+    if "mass" not in atoms.columns:
+        raise ValueError("atom_data table lacks a 'mass' column")
+    atoms.index = atoms.index.astype(int)
+    atoms.index.name = "atomic_number"
+    # carsus masses are in u; anything above ~1e-10 is clearly not grams
+    mass = atoms["mass"].astype(float)
+    if mass.max() > 1e-10:
+        mass = mass * AMU_CGS
+    atom_data = pd.DataFrame({"symbol": atoms["symbol"], "mass": mass})
+
+    ion = frames["ionization_data"]
+    if isinstance(ion, pd.DataFrame):
+        ion = ion["ionization_energy"]
+    ion = ion.astype(float)
+    # carsus stores eV; erg values would be < 1e-9
+    if ion.max() > 1e-6:
+        ion = ion * EV_TO_ERG
+    ion.name = "ionization_energy"
+    ion.index = ion.index.set_names(["atomic_number", "ion_number"])
+
+    levels = frames["levels"].copy()
+    for col in ("energy", "g"):
+        if col not in levels.columns:
+            raise ValueError(f"levels table lacks a '{col}' column")
+    energy = levels["energy"].astype(float)
+    if np.nanmax(np.abs(energy.values)) > 1e-6:
+        energy = energy * EV_TO_ERG
+    if "metastable" not in levels.columns:
+        levels["metastable"] = False
+    levels = pd.DataFrame(
+        {
+            "energy": energy,
+            "g": levels["g"].astype(float),
+            "metastable": levels["metastable"].astype(bool),
+        },
+        index=levels.index.set_names(
+            ["atomic_number", "ion_number", "level_number"]
+        ),
+    )
+
+    lines_src = frames.get("lines")
+    if lines_src is not None and len(lines_src):
+        lines = lines_src.reset_index()
+        # wavelength: carsus 'wavelength' is AA (kurucz) — accept
+        # wavelength_cm directly when present
+        if "wavelength_cm" in lines.columns:
+            wl_cm = lines["wavelength_cm"].astype(float)
+        else:
+            wl_cm = lines["wavelength"].astype(float) * 1e-8
+        nu = lines["nu"] if "nu" in lines.columns else C_CGS / wl_cm
+        if "f_lu" in lines.columns:
+            f_lu = lines["f_lu"].astype(float)
+        elif "gf" in lines.columns:
+            g_lo = _level_g(
+                levels, lines, "level_number_lower"
+            )
+            f_lu = lines["gf"].astype(float) / g_lo
+        else:
+            raise ValueError("lines table lacks f_lu/gf columns")
+        if "A_ul" in lines.columns:
+            a_ul = lines["A_ul"].astype(float)
+        else:
+            g_lo = _level_g(levels, lines, "level_number_lower")
+            g_up = _level_g(levels, lines, "level_number_upper")
+            a_ul = einstein_a_from_f_lu(np.asarray(nu), g_lo, g_up, f_lu)
+        lines = pd.DataFrame(
+            {
+                "atomic_number": lines["atomic_number"].astype(int),
+                "ion_number": lines["ion_number"].astype(int),
+                "level_number_lower": lines["level_number_lower"].astype(int),
+                "level_number_upper": lines["level_number_upper"].astype(int),
+                "nu": np.asarray(nu, dtype=float),
+                "f_lu": np.asarray(f_lu, dtype=float),
+                "A_ul": np.asarray(a_ul, dtype=float),
+                "wavelength_cm": np.asarray(wl_cm, dtype=float),
+            }
+        )
+        lines.index.name = "line_id"
+    else:
+        lines = pd.DataFrame(
+            columns=[
+                "atomic_number", "ion_number", "level_number_lower",
+                "level_number_upper", "nu", "f_lu", "A_ul", "wavelength_cm",
+            ]
+        )
+
+    def passthrough(name):
+        ll = frames.get(name)
+        if ll is None:
+            return None
+        return ll.reset_index(drop=True)
+
+    molecule_data = None
+    if frames.get("molecule_eq") is not None:
+        molecule_data = MoleculeData(
+            frames["molecule_eq"],
+            frames["molecule_pf"],
+            frames["molecule_de"],
+        )
+
+    return AtomData(
+        atom_data,
+        ion,
+        levels,
+        lines,
+        linelist_atoms=passthrough("linelist_atoms"),
+        linelist_molecules=passthrough("linelist_molecules"),
+        molecule_data=molecule_data,
+    )
+
+
+def _level_g(levels, lines, level_col):
+    idx = pd.MultiIndex.from_arrays(
+        [
+            lines["atomic_number"].astype(int),
+            lines["ion_number"].astype(int),
+            lines[level_col].astype(int),
+        ]
+    )
+    return levels["g"].reindex(idx).values
+
+
+def load_carsus_store(path) -> dict:
+    """Read a carsus pytables store into the logical-frame dict.
+
+    Requires the ``tables`` package (unavailable in minimal runtimes — run
+    this where carsus itself runs)."""
+    try:
+        import tables  # noqa: F401
+    except ImportError as err:
+        raise ImportError(
+            "reading carsus files requires the 'tables' (pytables) package; "
+            "run this converter in an environment with carsus installed, "
+            "then ship the converted native file"
+        ) from err
+
+    frames = {}
+    with pd.HDFStore(path, "r") as store:
+        keys = {k.lstrip("/") for k in store.keys()}
+        for logical, aliases in KEY_ALIASES.items():
+            for alias in aliases:
+                if alias in keys:
+                    frames[logical] = store[alias]
+                    break
+    missing = [k for k in ("atom_data", "ionization_data", "levels")
+               if k not in frames]
+    if missing:
+        raise ValueError(
+            f"{path}: carsus store lacks required tables {missing}; "
+            f"found keys {sorted(keys)}"
+        )
+    return frames
+
+
+def convert(src_path, dst_path) -> AtomData:
+    """carsus pytables file -> native h5py file; returns the AtomData."""
+    adata = convert_frames(load_carsus_store(src_path))
+    adata.to_hdf(dst_path)
+    return adata
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 2:
+        print(
+            "usage: python -m stardis_tpu.atom_data.convert "
+            "<carsus.h5> <native.h5>",
+            file=sys.stderr,
+        )
+        return 2
+    adata = convert(argv[0], argv[1])
+    print(
+        f"converted: {len(adata.atom_data)} elements, "
+        f"{len(adata.levels)} levels, {len(adata.lines)} lines, "
+        f"linelist_atoms="
+        f"{0 if adata.linelist_atoms is None else len(adata.linelist_atoms)}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,154 @@
+"""carsus -> native converter (atom_data/convert.py).
+
+The pytables reader can't run here (no 'tables' package) — these tests
+exercise the frame-mapping core with carsus-shaped DataFrames (units in
+u/eV/AA as carsus writes them) and the native round-trip, plus the gating
+error of the IO shell.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stardis_tpu.atom_data.convert import convert_frames, load_carsus_store
+from stardis_tpu.constants import AMU_CGS, C_CGS, EV_TO_ERG
+
+
+def carsus_frames():
+    atom_data = pd.DataFrame(
+        {"symbol": ["H", "He"], "name": ["hydrogen", "helium"],
+         "mass": [1.00794, 4.002602]},  # u, carsus convention
+        index=pd.Index([1, 2], name="atomic_number"),
+    )
+    ionization_data = pd.Series(
+        [13.598434, 24.587387, 54.417760],  # eV, carsus convention
+        index=pd.MultiIndex.from_tuples(
+            [(1, 1), (2, 1), (2, 2)], names=["atomic_number", "ion_number"]
+        ),
+        name="ionization_energy",
+    )
+    levels = pd.DataFrame(
+        {
+            "energy": [0.0, 10.1988, 0.0, 0.0, 19.8196],  # eV
+            "g": [2, 8, 1, 1, 3],
+            "metastable": [True, False, True, True, False],
+        },
+        index=pd.MultiIndex.from_tuples(
+            [(1, 0, 0), (1, 0, 1), (1, 1, 0), (2, 0, 0), (2, 0, 1)],
+            names=["atomic_number", "ion_number", "level_number"],
+        ),
+    )
+    lines = pd.DataFrame(
+        {
+            "atomic_number": [1],
+            "ion_number": [0],
+            "level_number_lower": [0],
+            "level_number_upper": [1],
+            "wavelength": [1215.67],  # AA
+            "gf": [0.8324],  # g_lo * f_lu with g_lo=2 -> f_lu=0.4162
+        }
+    )
+    linelist_atoms = pd.DataFrame(
+        {
+            "atomic_number": [26], "ion_charge": [0], "wavelength": [5250.2],
+            "log_gf": [-4.9], "e_low": [0.121], "e_up": [2.48],
+            "j_lo": [0.0], "j_up": [1.0], "rad": [7.8], "stark": [-6.2],
+            "waals": [-7.8],
+        }
+    )
+    return {
+        "atom_data": atom_data,
+        "ionization_data": ionization_data,
+        "levels": levels,
+        "lines": lines,
+        "linelist_atoms": linelist_atoms,
+    }
+
+
+def test_convert_frames_units_and_derived_columns():
+    adata = convert_frames(carsus_frames())
+    # masses u -> g
+    np.testing.assert_allclose(
+        adata.atom_data.mass.loc[1], 1.00794 * AMU_CGS, rtol=1e-12
+    )
+    # energies eV -> erg
+    np.testing.assert_allclose(
+        adata.ionization_data.loc[(1, 1)], 13.598434 * EV_TO_ERG, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        adata.levels.loc[(1, 0, 1)].energy, 10.1988 * EV_TO_ERG, rtol=1e-12
+    )
+    # lines: nu from wavelength, f_lu from gf/g_lo, A_ul derived
+    line = adata.lines.iloc[0]
+    np.testing.assert_allclose(line.nu, C_CGS / 1215.67e-8, rtol=1e-12)
+    np.testing.assert_allclose(line.f_lu, 0.8324 / 2.0, rtol=1e-12)
+    assert 4e8 < line.A_ul < 8e8  # Ly-alpha A_ul ~= 6.26e8 1/s
+    np.testing.assert_allclose(line.wavelength_cm, 1215.67e-8, rtol=1e-12)
+    # VALD linelist passes through unchanged
+    assert adata.linelist_atoms.iloc[0].ion_charge == 0
+    assert adata.linelist_atoms.iloc[0].waals == -7.8
+
+
+def test_convert_frames_already_cgs_left_alone():
+    frames = carsus_frames()
+    frames["atom_data"]["mass"] = frames["atom_data"]["mass"] * AMU_CGS
+    frames["ionization_data"] = frames["ionization_data"] * EV_TO_ERG
+    frames["levels"]["energy"] = frames["levels"]["energy"] * EV_TO_ERG
+    adata = convert_frames(frames)
+    np.testing.assert_allclose(
+        adata.atom_data.mass.loc[1], 1.00794 * AMU_CGS, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        adata.ionization_data.loc[(1, 1)], 13.598434 * EV_TO_ERG, rtol=1e-12
+    )
+
+
+def test_converted_data_runs_the_plasma_chain():
+    from stardis_tpu.plasma.tables import build_plasma_tables
+
+    adata = convert_frames(carsus_frames())
+    tables = build_plasma_tables(adata)
+    assert tables.n_elements == 2
+    assert tables.slot_of(1, 0) >= 0
+
+
+def test_convert_native_roundtrip(tmp_path):
+    adata = convert_frames(carsus_frames())
+    path = str(tmp_path / "native.h5")
+    adata.to_hdf(path)
+    from stardis_tpu.atom_data.base import AtomData
+
+    back = AtomData.from_hdf(path)
+    pd.testing.assert_frame_equal(
+        back.levels, adata.levels, check_dtype=False
+    )
+    np.testing.assert_allclose(
+        back.lines.f_lu.values, adata.lines.f_lu.values
+    )
+    assert len(back.linelist_atoms) == 1
+
+
+def test_load_carsus_store_requires_pytables(tmp_path):
+    has_tables = True
+    try:
+        import tables  # noqa: F401
+    except ImportError:
+        has_tables = False
+    if has_tables:
+        pytest.skip("pytables installed; gating error not reachable")
+    with pytest.raises(ImportError, match="tables"):
+        load_carsus_store(str(tmp_path / "x.h5"))
+
+
+def test_from_hdf_error_names_real_converter(tmp_path):
+    """Round-1 verdict: the error pointed at a module that didn't exist."""
+    import h5py
+
+    path = str(tmp_path / "notnative.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("whatever", data=[1])
+    from stardis_tpu.atom_data.base import AtomData
+
+    with pytest.raises(ValueError, match="convert"):
+        AtomData.from_hdf(path)
+    import stardis_tpu.atom_data.convert  # noqa: F401  (module exists)
