@@ -257,3 +257,26 @@ def solve_lte(temperatures, elemental_number_density, dt: DevicePlasmaTables):
         h2_density=h2,
         h2_plus_density=h2_plus,
     )
+
+# ----------------------------------------------------------------------
+# reference-parity accessors (TARDIS BasePlasma property names pinned by
+# the reference regression suite, tests/test_stardis_regression.py:4-31)
+# ----------------------------------------------------------------------
+
+def saha_phi(state: "PlasmaState", dt: DevicePlasmaTables):
+    """phi[e, j, d] = 2 (U_{j+1}/U_j) g_electron exp(-beta chi_j) — the
+    TARDIS ``phi`` property (n_{j+1} n_e / n_j).  Invalid (e, j) pairs
+    (beyond the element's last stage) are 0."""
+    log_u = jnp.log(state.partition_function)
+    log_phi = _log_phi(dt, log_u, state.beta)
+    phi = jnp.exp(log_phi + state.log_g_electron[None, None, :])
+    return jnp.where(dt.chi_mask[..., None], phi, 0.0)
+
+
+def level_boltzmann_factor(state: "PlasmaState", dt: DevicePlasmaTables):
+    """g_l exp(-beta E_l) per level per depth — the TARDIS
+    ``level_boltzmann_factor``/``general_level_boltzmann_factor`` (equal
+    in LTE)."""
+    return dt.level_g[:, None] * jnp.exp(
+        -state.beta[None, :] * dt.level_energy[:, None]
+    )
