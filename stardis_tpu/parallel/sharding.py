@@ -67,7 +67,10 @@ def shard_spectrum(
 
     window: int, or a dict of per-line-set tier lists from
     pipeline.line_window_tiers (same contract as stage_spectrum).
-    Returns F_nu [D, N] with the nu axis sharded over the mesh.
+    Returns F_nu [D, N] with the nu axis sharded over the mesh; when
+    plan.track_individual_intensities is set (result_options.
+    return_radiation_field, reference radiation_field/base.py:64-68) it
+    returns (F_nu, I_nus [D, N, T]) instead, I_nus sharded over nu too.
     """
     import dataclasses
 
@@ -149,25 +152,35 @@ def shard_spectrum(
             total = total + alpha_line
 
         source = blackbody_flux_at_nu(nus_local, state_rep.t)
-        f_nu_local, _ = raytrace(
+        f_nu_local, i_nus_local = raytrace(
             total,
             source,
             jnp.asarray(plan.ray_distances, dtype=dtype),
             jnp.asarray(plan.weights, dtype=dtype),
             inward_rays=plan.inward_rays,
             photospheric_correction=plan.photospheric_correction,
+            track_individual_intensities=plan.track_individual_intensities,
         )
+        if plan.track_individual_intensities:
+            return f_nu_local, i_nus_local  # [D, n_loc], [D, n_loc, T]
         return f_nu_local  # [depth, per_shard]
 
+    track = plan.track_individual_intensities
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=P(None, "nu"),
+        out_specs=(P(None, "nu"), P(None, "nu", None)) if track
+        else P(None, "nu"),
     )
-    f_nu = smapped(state, line_quants)
+    out = smapped(state, line_quants)
+    f_nu, i_nus = out if track else (out, None)
     if pad:
         f_nu = f_nu[:, : len(plan.tracing_nus)]
+        if i_nus is not None:
+            i_nus = i_nus[:, : len(plan.tracing_nus), :]
+    if track:
+        return f_nu, i_nus
     return f_nu
 
 

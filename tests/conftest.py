@@ -64,3 +64,15 @@ def example_tracing_nus():
 
     lambdas = np.arange(6560, 6570, 0.1)
     return u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tier (big sharding compiles, ~5 min)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "test_sharding" in item.nodeid:
+            item.add_marker(pytest.mark.slow)

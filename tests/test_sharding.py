@@ -113,3 +113,34 @@ def test_sharded_output_is_actually_sharded(solar_plan):
     f_shard = shard_spectrum(plan, state, lq, 256, mesh)
     # the result's sharding spans all 8 devices along nu
     assert len(f_shard.sharding.device_set) == 8
+
+
+def test_sharded_individual_intensities(solar_plan):
+    """result_options.return_radiation_field parity under sharding
+    (reference radiation_field/base.py:64-68): I_nus is returned and
+    matches the unsharded tracker exactly."""
+    import dataclasses
+
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = dataclasses.replace(
+        solar_plan, track_individual_intensities=True
+    )
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    f_ref, _, _, i_ref = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    mesh = make_nu_mesh(4)
+    f_shard, i_shard = shard_spectrum(plan, state, lq, tiers, mesh, chunk=None)
+    assert i_shard.shape == i_ref.shape  # [D, N, T]
+    np.testing.assert_allclose(
+        np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(i_shard), np.asarray(i_ref), rtol=1e-10, atol=0
+    )
