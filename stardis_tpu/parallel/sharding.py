@@ -80,6 +80,15 @@ def shard_spectrum(
     per_shard = n_padded // ndev
     dtype = state.t.dtype
 
+    # accuracy epsilon uses the full unpadded grid; compute it once here
+    # (eager, replicated) so every shard masks with identical values
+    if plan.window_mode == "accuracy":
+        from stardis_tpu.pipeline import accuracy_epsilon
+
+        eps_global = accuracy_epsilon(plan, state)[None, :]
+    else:
+        eps_global = plan.window_epsilon
+
     if pad and plan.file_sources:
         plan = dataclasses.replace(
             plan,
@@ -119,12 +128,7 @@ def shard_spectrum(
         for key, val in opac.items():
             total = val if total is None else total + val
 
-        if plan.window_mode == "accuracy":
-            from stardis_tpu.pipeline import accuracy_epsilon
-
-            eps = accuracy_epsilon(plan, state_rep)[None, :]
-        else:
-            eps = plan.window_epsilon
+        eps = eps_global
         for key, (alpha, gamma, doppler) in (lq_rep or {}).items():
             line_nu_dev, centers_dev = line_sets[key]
             spec = window[key] if isinstance(window, dict) else window

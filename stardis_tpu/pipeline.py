@@ -289,17 +289,21 @@ def stage_plasma_and_lines(plan: SimulationPlan, temps, n_elem):
 
 
 def accuracy_epsilon(plan, state):
-    """Per-depth absolute truncation threshold [1/cm]: epsilon_rel times a
-    continuum-opacity proxy (Thomson + approximate H- bound-free), so wing
-    truncation stays a fixed fraction of the local continuum at every depth.
-    """
-    from stardis_tpu.constants import SIGMA_T_CGS
+    """Per-depth absolute truncation threshold [1/cm]: epsilon_rel times the
+    ACTUAL total continuum extinction (its minimum over the tracing grid),
+    so wing truncation is bounded relative to the local continuum whatever
+    dominates it — H- in solar-type stars, Thomson/H bf in hot stars.
 
-    proxy = (
-        SIGMA_T_CGS * state.electron_densities
-        + 4e-17 * state.h_minus_density  # H- bf cross-section scale
-    )
-    return plan.window_epsilon * proxy
+    Always evaluated on the full unpadded grid from the plan (the sharded
+    path computes it once outside shard_map), so tier choice and in-kernel
+    masks see identical values sharded and unsharded.
+    """
+    tracing = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
+    opac = compute_continuum(plan, state, tracing)
+    total = None
+    for val in opac.values():
+        total = val if total is None else total + val
+    return plan.window_epsilon * jnp.min(total, axis=1)
 
 
 def validate_line_quants(line_quants):

@@ -144,3 +144,67 @@ def test_vald_broadening_flag(mol_setup):
     # builtin linelist has stark=waals=0 (missing), so VALD gamma is
     # (A_ul + linear_stark)/2 — different from the computed-broadening path
     assert not np.allclose(g_vald, g_std)
+
+
+def test_molecular_vdw_divergence_quantified(mol_setup):
+    """Decision test for the documented molecular-vdW divergence.
+
+    The reference routes molecular lines with packed vdW in (0, 20)
+    through the Unsoeld enhancement (broadening.py:735-821 -> 994-1001),
+    whose n_eff needs an atomic ionization energy the molecular linelist
+    does not have — it cannot produce a physical value for molecules (the
+    reference also never applies its 'HWHM TO FWHM' halving there: line
+    798 is a bare no-op expression).  stardis_tpu applies the scaled
+    10^vdW law for negative packed values and deliberately contributes
+    ZERO for values in (0, 20).
+
+    This pins that decision: (a) (0,20)-packed vdW behaves exactly like
+    vdW=0 (the divergence is a no-op relative to disabled vdW, not silent
+    garbage), and (b) the delta that WOULD come from real vdW broadening
+    (the negative-packed scaled law) is nonzero and bounded, quantifying
+    the largest effect the skipped branch could have had.
+    """
+    ad, tables, temps, state = mol_setup
+    from stardis_tpu.plasma.molecules import build_molecule_tables
+
+    mt = build_molecule_tables(ad, tables, temps)
+
+    def quants(waals_value):
+        ad.linelist_molecules = pd.DataFrame(
+            {
+                "molecule": ["CO"] * 3,
+                "wavelength": [6550.0, 6560.0, 6570.0],
+                "log_gf": [-3.0, -2.5, -3.5],
+                "e_low": [0.1, 0.3, 0.6],
+                "j_lo": [10.0, 12.0, 8.0],
+                "j_up": [11.0, 13.0, 9.0],
+                "rad": [6.5, 6.5, 6.5],
+                "stark": [0.0, 0.0, 0.0],
+                "waals": [waals_value] * 3,
+            }
+        )
+        from stardis_tpu.constants import C_CGS
+
+        mld = prepare_molecule_line_data(
+            ad, mt, C_CGS / 6600e-8, C_CGS / 6500e-8
+        )
+        return compute_molecule_line_quantities(
+            mld, mt, state, jnp.asarray(temps), 1e5,
+            ("radiation", "van_der_waals"),
+        )
+
+    _, g_zero, _ = quants(0.0)
+    _, g_unsoeld_range, _ = quants(7.5)  # packed (0, 20): Unsoeld in ref
+    _, g_scaled, d_scaled = quants(-7.3)  # negative: scaled law
+
+    # (a) the skipped Unsoeld branch contributes exactly nothing
+    np.testing.assert_array_equal(
+        np.asarray(g_unsoeld_range), np.asarray(g_zero)
+    )
+    # (b) the scaled law DOES contribute, and dominates radiation at the
+    # cool dense depths — bounding what a vdW treatment can change
+    extra = np.asarray(g_scaled) - np.asarray(g_zero)
+    assert extra.min() > 0
+    rel_width = extra / np.asarray(d_scaled)
+    assert rel_width.max() > 1e-4  # vdW is a measurable fraction of Doppler
+    assert np.isfinite(rel_width).all()

@@ -144,3 +144,29 @@ def test_sharded_individual_intensities(solar_plan):
     np.testing.assert_allclose(
         np.asarray(i_shard), np.asarray(i_ref), rtol=1e-10, atol=0
     )
+
+
+def test_sharded_accuracy_mode_equals_unsharded(solar_plan):
+    """The continuum-based accuracy epsilon is computed once on the full
+    grid, so sharded and unsharded accuracy-mode runs must agree exactly."""
+    import dataclasses
+
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = dataclasses.replace(
+        solar_plan, window_mode="accuracy", window_epsilon=1e-4
+    )
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    f_ref, *_ = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    mesh = make_nu_mesh(4)
+    f_shard = shard_spectrum(plan, state, lq, tiers, mesh, chunk=None)
+    np.testing.assert_allclose(
+        np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
