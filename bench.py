@@ -104,17 +104,20 @@ def tier_histogram(window):
 
 def voigt_evals(window, n_depth, n_nu):
     """Voigt evaluation count per pipeline execution, from the tier plan.
-    Tiers with w >= n_nu run the dense full-grid path (n_nu evals/pair)."""
+    Dense tiers (line_kernel.is_dense_tier) do n_nu evals/pair."""
+    from stardis_tpu.opacities.line_kernel import is_dense_tier
+
+    def evals(w):
+        return n_nu if is_dense_tier(w, n_nu) else w
+
     total = 0
     for key, tiers in window.items():
         if hasattr(tiers, "histogram"):  # BlockedTiers: pairs x block x W
             total += sum(
-                n * tiers.block * min(w, n_nu) for n, w in tiers.histogram()
+                n * tiers.block * evals(w) for n, w in tiers.histogram()
             )
         else:
-            total += sum(
-                len(idx) * n_depth * min(w, n_nu) for idx, w in tiers
-            )
+            total += sum(len(idx) * n_depth * evals(w) for idx, w in tiers)
     return total
 
 

@@ -91,6 +91,17 @@ def window_pixels_accuracy(alpha, gamma, doppler, d_nu, epsilon=1e-12):
 
 TIER_WINDOWS = (128, 512, 2048, 8192)
 
+# A tier whose window is at least 1/DENSE_WINDOW_FRACTION of the grid runs
+# the dense full-grid path instead of the windowed scatter: on v5e a narrow
+# scatter row costs ~10x a dense masked Voigt eval, so dense wins until the
+# window is a small fraction of the grid (measured crossover ~1/64 on the
+# 100k-line Sim100AA workload; the 128-pixel bulk tier stays scatter).
+DENSE_WINDOW_FRACTION = 64
+
+
+def is_dense_tier(window, n_nu):
+    return DENSE_WINDOW_FRACTION * window >= n_nu
+
 
 @dataclasses.dataclass
 class BlockedTiers:
@@ -295,7 +306,7 @@ def accumulate_line_opacity(
     if n_lines == 0:
         return jnp.zeros((n_depth, n_nu), dtype=dtype)
 
-    if window >= n_nu:
+    if is_dense_tier(window, n_nu):
         # the window (nearly) covers the whole (local) grid: dense
         # evaluation does n_nu evals/line with plain adds instead of a
         # window-wide scatter (grid-covering windows are padded to 2*n_nu)
@@ -481,11 +492,12 @@ def accumulate_line_opacity_blocked(
         n_pairs = len(line_idx)
         if n_pairs == 0:
             continue
-        if w >= n_nu:
-            # near/fully grid-covering tier: dense evaluation per
-            # depth-block group — no scatter (the narrow [*, blk] scatter
-            # rows dominate cost otherwise) and n_nu evals per pair instead
-            # of w (the grid-covering tier pads w to 2*n_nu)
+        if is_dense_tier(w, n_nu):
+            # wide tier: dense evaluation per depth-block group — no
+            # scatter (the narrow [*, blk] scatter rows dominate cost
+            # otherwise; measured on v5e, scatter rows cost ~10x a dense
+            # masked eval) and n_nu evals per pair instead of w for the
+            # grid-covering tier (which pads w to 2*n_nu)
             for j in range(n_blocks):
                 m = block_idx == j
                 if not m.any():
