@@ -1,0 +1,267 @@
+"""Production serving: compiled-plan cache for repeated synthesis.
+
+The two-stage pipeline re-traces whenever the window-tier assignment
+changes, because tier index arrays are compile-time constants (the price of
+fully static shapes).  For a synthesis service — parameter scans, MCMC
+stellar-parameter fitting, spectral-grid generation — that would mean a
+multi-minute XLA compile per request.  ``SpectralService`` removes it:
+
+* the simulation plan (config, atom data, line selection, geometry kind)
+  is built once;
+* window tiers are FROZEN from the first request, assigned with a safety
+  margin (``tier_margin``) on the adaptive window;
+* every subsequent request reuses the compiled executables and only ships
+  new temperatures / abundances / ray geometry;
+* exactness is preserved because the line kernel re-applies the TRUE
+  per-(line, depth) window mask in-kernel — a frozen tier only sets the
+  evaluation budget.  A cheap per-request device reduction validates that
+  every pair's true window still fits its tier budget; a violation (a much
+  hotter/denser atmosphere than the tiers were built for) triggers
+  re-tiering + recompile, counted in ``stats``.
+
+The reference has no serving layer (its asv benchmarks re-run
+``run_stardis`` from scratch each time); this subsystem is TPU-build-only.
+
+Limitations (documented, checked at request time):
+* all requests must share the config, wavelength grid, and depth count;
+* tabulated file opacities (``opacity.file``) are interpolated at the
+  plan-building model's temperatures; requests whose temperatures differ
+  beyond ``file_opacity_rtol`` are rejected rather than silently served
+  with stale sigmas (use the John analytic sources for T-robust serving);
+* microturbulence and spherical geometry are baked per service instance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ServiceStats:
+    requests: int = 0
+    compiles: int = 0
+    retier_events: int = 0
+
+
+class SpectralService:
+    def __init__(
+        self,
+        config_fname,
+        tracing_lambdas_or_nus,
+        add_config_dict=None,
+        dtype=np.float32,
+        tier_margin: float = 1.5,
+        file_opacity_rtol: float = 1e-3,
+        chunk=None,
+    ):
+        from stardis_tpu import units as u
+        from stardis_tpu.base import parse_config_to_model
+
+        self._dtype = dtype
+        self._tier_margin = float(tier_margin)
+        self._file_opacity_rtol = float(file_opacity_rtol)
+        self._chunk = chunk
+        self.stats = ServiceStats()
+
+        self.config, self.atom_data, self._template_model = (
+            parse_config_to_model(config_fname, add_config_dict)
+        )
+        q = tracing_lambdas_or_nus
+        if hasattr(q, "to"):
+            q = q.to(u.Hz, u.spectral())
+        self._nus = np.atleast_1d(np.asarray(q, dtype=np.float64))
+
+        self._plan = None
+        self._stage1 = None
+        self._window = None
+        self._stage2 = None
+        self._win_check = None
+
+    # ------------------------------------------------------------------
+    def _build(self, stellar_model):
+        import jax
+        import jax.numpy as jnp
+
+        from stardis_tpu.pipeline import (
+            build_simulation_plan,
+            stage_plasma_and_lines,
+        )
+
+        self._plan = build_simulation_plan(
+            self.config, self.atom_data, stellar_model, self._nus,
+            dtype=self._dtype,
+        )
+        self._plan_temps = np.asarray(stellar_model.temperatures, float)
+        plan = self._plan
+        self._stage1 = jax.jit(
+            lambda t, n: stage_plasma_and_lines(plan, t, n)
+        )
+        self.stats.compiles += 1
+
+    def _freeze_tiers(self, state, lq):
+        import jax
+        import jax.numpy as jnp
+
+        from stardis_tpu.opacities.line_kernel import (
+            assign_window_tiers_blocked,
+            window_pixels,
+            window_pixels_accuracy,
+        )
+        from stardis_tpu.pipeline import accuracy_epsilon, stage_spectrum
+
+        plan = self._plan
+        n_nu = len(plan.tracing_nus)
+        window = {}
+        win_blocked = {}
+        for key, (alpha, gamma, doppler) in (lq or {}).items():
+            if plan.window_mode == "accuracy":
+                eps = accuracy_epsilon(plan, state)[None, :]
+                win = window_pixels_accuracy(
+                    alpha, gamma, doppler, plan.d_nu, epsilon=eps
+                )
+            else:
+                win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+            window[key] = assign_window_tiers_blocked(
+                np.asarray(win) * self._tier_margin, n_nu,
+                block=max(plan.window_block, 1),
+            )
+            win_blocked[key] = window[key]
+        self._window = window
+
+        chunk = self._chunk
+        self._stage2 = jax.jit(
+            lambda s, q, rays: stage_spectrum(
+                plan, s, q, window=window, chunk=chunk, ray_distances=rays
+            )[0]
+        )
+
+        # per-request validator: does every pair's TRUE window still fit
+        # its frozen tier budget?  (one scalar per call)
+        def check(s, q):
+            ok = jnp.asarray(True)
+            for key, (alpha, gamma, doppler) in (q or {}).items():
+                if plan.window_mode == "accuracy":
+                    eps = accuracy_epsilon(plan, s)[None, :]
+                    win = window_pixels_accuracy(
+                        alpha, gamma, doppler, plan.d_nu, epsilon=eps
+                    )
+                else:
+                    win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+                bt = window[key]
+                blk, nb = bt.block, bt.n_blocks
+                d_pad = blk * nb
+                n_lines, n_depth = win.shape
+                if d_pad != n_depth:
+                    win = jnp.concatenate(
+                        [win, jnp.zeros((n_lines, d_pad - n_depth), win.dtype)],
+                        axis=1,
+                    )
+                win_blk = win.reshape(n_lines, nb, blk).max(axis=2)
+                full = int(np.ceil(2 * n_nu / 128.0) * 128)
+                for li, bi, w in bt.tiers:
+                    if w >= full:
+                        continue  # grid-covering tier fits by construction
+                    pair_win = win_blk[jnp.asarray(li), jnp.asarray(bi)]
+                    ok = ok & jnp.all(2.0 * jnp.ceil(pair_win) <= w)
+            return ok
+
+        import jax as _jax
+
+        self._win_check = _jax.jit(check)
+        self.stats.compiles += 1
+
+    # ------------------------------------------------------------------
+    def synthesize(self, stellar_model):
+        """Emergent spectrum for one atmosphere; returns a dict with
+        nus / lambdas / spectrum_nu / spectrum_lambda / F_nu."""
+        import jax.numpy as jnp
+
+        from stardis_tpu.pipeline import validate_line_quants
+        from stardis_tpu.radiation_field.solver import (
+            calculate_spherical_ray,
+            gauss_legendre_thetas,
+        )
+
+        self.stats.requests += 1
+        if self._plan is None:
+            self._build(stellar_model)
+
+        plan = self._plan
+        temps_np = np.asarray(stellar_model.temperatures, float)
+        if len(temps_np) != len(plan.temperatures):
+            raise ValueError(
+                "all served models must share the plan's depth count"
+            )
+        if plan.file_sources and not np.allclose(
+            temps_np, self._plan_temps, rtol=self._file_opacity_rtol
+        ):
+            raise ValueError(
+                "tabulated file opacities were interpolated at the plan "
+                "model's temperatures; this request's temperatures differ "
+                f"beyond rtol={self._file_opacity_rtol}. Rebuild the "
+                "service (or use the *_john analytic sources)."
+            )
+
+        temps = jnp.asarray(temps_np, dtype=self._dtype)
+        n_elem_frame = stellar_model.composition.elemental_number_density
+        n_elem = jnp.asarray(
+            n_elem_frame.loc[plan.tables.zs].values, dtype=self._dtype
+        )
+
+        thetas, _ = gauss_legendre_thetas(int(self.config.no_of_thetas))
+        r = np.asarray(stellar_model.geometry.r, float)
+        if stellar_model.spherical:
+            rays = calculate_spherical_ray(thetas, r)
+        else:
+            rays = np.diff(r)[:, None] / np.cos(thetas)[None, :]
+        rays = jnp.asarray(rays, dtype=self._dtype)
+
+        state, lq = self._stage1(temps, n_elem)
+        validate_line_quants(lq)
+
+        if self._stage2 is None:
+            self._freeze_tiers(state, lq)
+        elif lq and not bool(self._win_check(state, lq)):
+            logger.info(
+                "frozen window tiers too narrow for this request; re-tiering"
+            )
+            self.stats.retier_events += 1
+            self._freeze_tiers(state, lq)
+
+        f_nu = self._stage2(state, lq, rays)
+        f_nu_np = np.asarray(f_nu)
+        if stellar_model.spherical and plan.photospheric_correction:
+            # stage_spectrum applied the TEMPLATE model's (r/r_ref)^2; swap
+            # in this model's correction
+            corr = (
+                r[-1] / float(np.asarray(stellar_model.geometry.reference_r))
+            ) ** 2
+            f_nu_np = f_nu_np * (corr / plan.photospheric_correction)
+
+        lambdas = 2.99792458e18 / plan.tracing_nus  # AA
+        surface = f_nu_np[-1]
+        return {
+            "nus": plan.tracing_nus.copy(),
+            "lambdas": lambdas,
+            "F_nu": f_nu_np,
+            "spectrum_nu": surface,
+            "spectrum_lambda": surface * plan.tracing_nus / lambdas,
+        }
+
+    def synthesize_batch(self, stellar_models):
+        """Serve a homogeneous list of models through the vmapped batch
+        path (one compile per batch shape; embarrassingly parallel)."""
+        from stardis_tpu.parallel.batch import make_batch, run_batch
+
+        plan, batch = make_batch(
+            self.config, self.atom_data, stellar_models, self._nus,
+            dtype=self._dtype,
+        )
+        self.stats.requests += len(stellar_models)
+        self.stats.compiles += 1
+        return np.asarray(run_batch(plan, batch, chunk=self._chunk))

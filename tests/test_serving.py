@@ -1,0 +1,154 @@
+"""SpectralService: compiled-plan serving (stardis_tpu/serving.py).
+
+Contract under test: repeated requests reuse the frozen tiers and compiled
+executables (no recompiles), results match the one-shot pipeline exactly
+when the tiers fit, and budget violations trigger re-tiering instead of
+silently truncating profiles.
+"""
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+
+from stardis_tpu import parse_config_to_model, run_stardis, units as u
+from stardis_tpu.io.synthetic import write_marcs_file
+from stardis_tpu.serving import SpectralService
+
+
+@pytest.fixture(scope="module")
+def service_setup(tmp_path_factory):
+    base = tmp_path_factory.mktemp("serving")
+    models = {}
+    for name, teff in (("sun", 5777.0), ("warm", 6300.0), ("hot", 9000.0)):
+        path = base / f"{name}.mod"
+        write_marcs_file(path, teff=teff)
+        models[name] = path
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:30",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(models["sun"]),
+            "final_atomic_number": 30,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "rayleigh": ["H"],
+            "line": {
+                "disable": False,
+                "broadening": ["radiation", "van_der_waals"],
+                "vald_linelist": {
+                    "use_linelist": True,
+                    "use_vald_broadening": True,
+                },
+            },
+        },
+        "no_of_thetas": 5,
+        "result_options": {},
+    }
+    cfg = base / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    lams = u.Quantity(np.arange(5885.0, 5900.0, 0.1), u.AA)
+    return str(cfg), models, lams
+
+
+def _model_for(cfg_path, mod_path):
+    config, adata, model = parse_config_to_model(
+        cfg_path, add_config_dict={"input_model.fname": str(mod_path)}
+    )
+    return model
+
+
+def test_service_matches_one_shot(service_setup):
+    cfg, models, lams = service_setup
+    svc = SpectralService(cfg, lams, dtype=np.float64)
+    model = _model_for(cfg, models["sun"])
+    out = svc.synthesize(model)
+    ref = run_stardis(cfg, lams)
+    np.testing.assert_allclose(
+        out["spectrum_nu"], np.asarray(ref.spectrum_nu), rtol=1e-8
+    )
+
+
+def test_service_reuses_compiles(service_setup):
+    cfg, models, lams = service_setup
+    svc = SpectralService(cfg, lams, dtype=np.float64, tier_margin=2.0)
+    sun = _model_for(cfg, models["sun"])
+    warm = _model_for(cfg, models["warm"])
+    svc.synthesize(sun)
+    compiles_after_first = svc.stats.compiles
+    out_warm = svc.synthesize(warm)
+    out_sun2 = svc.synthesize(sun)
+    assert svc.stats.requests == 3
+    # the nearby atmosphere fits the margined tiers: no new compiles
+    assert svc.stats.compiles == compiles_after_first
+    assert svc.stats.retier_events == 0
+    assert np.all(out_warm["spectrum_nu"] > 0)
+    # and serving is deterministic
+    out_sun3 = svc.synthesize(sun)
+    np.testing.assert_array_equal(
+        out_sun2["spectrum_nu"], out_sun3["spectrum_nu"]
+    )
+
+
+def test_service_retier_still_exact(service_setup):
+    """A far-off atmosphere violates the frozen budgets -> re-tier, and the
+    served spectrum still matches the one-shot pipeline."""
+    cfg, models, lams = service_setup
+    svc = SpectralService(cfg, lams, dtype=np.float64, tier_margin=1.0)
+    sun = _model_for(cfg, models["sun"])
+    hot = _model_for(cfg, models["hot"])
+    svc.synthesize(sun)
+    out_hot = svc.synthesize(hot)
+    ref = run_stardis(
+        cfg, lams, add_config_dict={"input_model.fname": str(models["hot"])}
+    )
+    np.testing.assert_allclose(
+        out_hot["spectrum_nu"], np.asarray(ref.spectrum_nu), rtol=1e-8
+    )
+
+
+def test_service_rejects_mismatched_file_opacity_temps(tmp_path):
+    import pathlib
+
+    ref_data = pathlib.Path("/root/reference/stardis/data")
+    if not ref_data.exists():
+        pytest.skip("reference data not mounted")
+    sun = tmp_path / "sun.mod"
+    hot = tmp_path / "hot.mod"
+    write_marcs_file(sun, teff=5777.0)
+    write_marcs_file(hot, teff=9000.0)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": str(sun), "final_atomic_number": 5,
+        },
+        "opacity": {
+            "file": {"Hminus_ff": str(ref_data / "h_minus_ff_B1987.dat")},
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "line": {"disable": True},
+        },
+        "no_of_thetas": 3,
+        "result_options": {},
+    }
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    lams = u.Quantity(np.arange(6560.0, 6565.0, 0.1), u.AA)
+    svc = SpectralService(str(cfg), lams, dtype=np.float64)
+    svc.synthesize(_model_for(str(cfg), sun))
+    with pytest.raises(ValueError, match="temperatures"):
+        svc.synthesize(_model_for(str(cfg), hot))
+
+
+def test_service_batch(service_setup):
+    cfg, models, lams = service_setup
+    svc = SpectralService(cfg, lams, dtype=np.float64)
+    sun = _model_for(cfg, models["sun"])
+    f = svc.synthesize_batch([sun, sun])
+    assert f.shape[0] == 2
+    np.testing.assert_allclose(f[0], f[1], rtol=1e-12)
