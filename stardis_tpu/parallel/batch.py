@@ -69,12 +69,40 @@ def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
     )
 
 
+# jit re-traces when the Python callable is new, so building closures per
+# call would recompile every run_batch invocation; cache compiled stages by
+# plan identity (+ tier content for stage 2)
+_STAGE1_CACHE = {}
+_STAGE2_CACHE = {}
+
+
+def _window_fingerprint(window):
+    import hashlib
+
+    h = hashlib.md5()
+    for key in sorted(window):
+        tiers = window[key]
+        if hasattr(tiers, "histogram"):  # BlockedTiers
+            h.update(str(tiers.block).encode())
+            for li, bi, w in tiers.tiers:
+                h.update(str(w).encode())
+                h.update(np.ascontiguousarray(li).tobytes())
+                h.update(np.ascontiguousarray(bi).tobytes())
+        else:
+            for li, w in tiers:
+                h.update(str(w).encode())
+                h.update(np.ascontiguousarray(li).tobytes())
+    return h.hexdigest()
+
+
 def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None,
               chunk=None):
     """Synthesize all atmospheres; returns F_nu [B, D, N].
 
     With a mesh (axis 'batch'), inputs/outputs shard over the batch axis —
-    embarrassingly parallel, no collectives.
+    embarrassingly parallel, no collectives.  Compiled stages are cached per
+    plan (and per window-tier content), so repeated batches with the same
+    tier layout run compile-free.
     """
     temps = jnp.asarray(batch.temperatures)
     n_elem = jnp.asarray(batch.n_elem)
@@ -86,7 +114,13 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
         n_elem = jax.device_put(n_elem, sharding)
         rays = jax.device_put(rays, sharding)
 
-    stage1 = jax.jit(jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n)))
+    key1 = id(plan)
+    stage1 = _STAGE1_CACHE.get(key1)
+    if stage1 is None:
+        stage1 = jax.jit(
+            jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n))
+        )
+        _STAGE1_CACHE[key1] = stage1
     state, lq = stage1(temps, n_elem)
     from stardis_tpu.pipeline import validate_line_quants
 
@@ -119,12 +153,21 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     else:
         window = 0
 
-    def one(s, q, rd):
-        f_nu, *_ = stage_spectrum(plan, s, q, window=window, chunk=chunk,
-                                  ray_distances=rd)
-        return f_nu
+    key2 = (
+        id(plan),
+        chunk,
+        _window_fingerprint(window) if isinstance(window, dict) else window,
+    )
+    stage2 = _STAGE2_CACHE.get(key2)
+    if stage2 is None:
 
-    stage2 = jax.jit(jax.vmap(one))
+        def one(s, q, rd):
+            f_nu, *_ = stage_spectrum(plan, s, q, window=window, chunk=chunk,
+                                      ray_distances=rd)
+            return f_nu
+
+        stage2 = jax.jit(jax.vmap(one))
+        _STAGE2_CACHE[key2] = stage2
     return stage2(state, lq, rays)
 
 
