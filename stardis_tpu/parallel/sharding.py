@@ -62,6 +62,7 @@ def shard_spectrum(
     window,
     mesh: Mesh,
     chunk: int | None = 1024,
+    ray_distances=None,  # [G, T] override (serving: per-request geometry)
 ):
     """Sharded equivalent of pipeline.stage_spectrum (F_nu only).
 
@@ -156,10 +157,15 @@ def shard_spectrum(
             total = total + alpha_line
 
         source = blackbody_flux_at_nu(nus_local, state_rep.t)
+        rays = (
+            jnp.asarray(plan.ray_distances, dtype=dtype)
+            if ray_distances is None
+            else jnp.asarray(ray_distances, dtype=dtype)
+        )
         f_nu_local, i_nus_local = raytrace(
             total,
             source,
-            jnp.asarray(plan.ray_distances, dtype=dtype),
+            rays,
             jnp.asarray(plan.weights, dtype=dtype),
             inward_rays=plan.inward_rays,
             photospheric_correction=plan.photospheric_correction,

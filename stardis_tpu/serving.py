@@ -58,6 +58,7 @@ class SpectralService:
         tier_margin: float = 1.5,
         file_opacity_rtol: float = 1e-3,
         chunk=None,
+        mesh=None,  # jax Mesh with a 'nu' axis: serve wavelength-sharded
     ):
         from stardis_tpu import units as u
         from stardis_tpu.base import parse_config_to_model
@@ -66,6 +67,7 @@ class SpectralService:
         self._tier_margin = float(tier_margin)
         self._file_opacity_rtol = float(file_opacity_rtol)
         self._chunk = chunk
+        self._mesh = mesh
         self.stats = ServiceStats()
 
         self.config, self.atom_data, self._template_model = (
@@ -134,11 +136,24 @@ class SpectralService:
         self._window = window
 
         chunk = self._chunk
-        self._stage2 = jax.jit(
-            lambda s, q, rays: stage_spectrum(
-                plan, s, q, window=window, chunk=chunk, ray_distances=rays
-            )[0]
-        )
+        if self._mesh is not None:
+            from stardis_tpu.parallel.sharding import shard_spectrum
+
+            mesh = self._mesh
+
+            def sharded(s, q, rays):
+                out = shard_spectrum(
+                    plan, s, q, window, mesh, chunk=chunk, ray_distances=rays
+                )
+                return out[0] if isinstance(out, tuple) else out
+
+            self._stage2 = jax.jit(sharded)
+        else:
+            self._stage2 = jax.jit(
+                lambda s, q, rays: stage_spectrum(
+                    plan, s, q, window=window, chunk=chunk, ray_distances=rays
+                )[0]
+            )
 
         # per-request validator: does every pair's TRUE window still fit
         # its frozen tier budget?  (one scalar per call)

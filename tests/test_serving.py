@@ -152,3 +152,21 @@ def test_service_batch(service_setup):
     f = svc.synthesize_batch([sun, sun])
     assert f.shape[0] == 2
     np.testing.assert_allclose(f[0], f[1], rtol=1e-12)
+
+
+def test_service_sharded_matches_unsharded(service_setup):
+    """Serving over a 4-device nu mesh equals single-device serving."""
+    from stardis_tpu.parallel.sharding import make_nu_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    cfg, models, lams = service_setup
+    sun = _model_for(cfg, models["sun"])
+    svc1 = SpectralService(cfg, lams, dtype=np.float64)
+    svc4 = SpectralService(cfg, lams, dtype=np.float64,
+                           mesh=make_nu_mesh(4))
+    out1 = svc1.synthesize(sun)
+    out4 = svc4.synthesize(sun)
+    np.testing.assert_allclose(
+        out4["spectrum_nu"], out1["spectrum_nu"], rtol=1e-10
+    )
