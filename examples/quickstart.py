@@ -10,6 +10,12 @@ Run:  python examples/quickstart.py [--plot out.png]
 """
 
 import argparse
+import sys
+from pathlib import Path
+
+# allow `python examples/<name>.py` from a repo checkout
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import tempfile
 from pathlib import Path
 

@@ -13,6 +13,12 @@ from pathlib import Path
 import numpy as np
 import yaml
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# allow `python examples/<name>.py` from a repo checkout
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from stardis_tpu import run_stardis
 from stardis_tpu import units as u
 from stardis_tpu.constants import C_KMS

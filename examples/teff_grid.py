@@ -14,6 +14,12 @@ import jax
 import numpy as np
 import yaml
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# allow `python examples/<name>.py` from a repo checkout
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from stardis_tpu import parse_config_to_model
 from stardis_tpu import units as u
 from stardis_tpu.io.marcs import read_marcs_model

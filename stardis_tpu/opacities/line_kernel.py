@@ -226,7 +226,12 @@ def _accumulate_dense(
     itemsize = jnp.dtype(dtype).itemsize
     c = chunk
     if c is None:
-        c = max(8, memory_budget_bytes // (4 * bdim * n_nu * itemsize))
+        c = memory_budget_bytes // (4 * bdim * n_nu * itemsize)
+        # sublane-aligned, and capped to <=4096 scan iterations: scans with
+        # ~8k+ trip counts fault the TPU runtime (observed on a 150k-point
+        # grid where the memory budget drove the chunk down to 27)
+        c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
+        c = -(-c // 8) * 8
     c = int(min(c, max(8, n_pairs)))
     pad = (-n_pairs) % c
 
@@ -324,7 +329,8 @@ def accumulate_line_opacity(
 
     if chunk is None:
         itemsize = jnp.dtype(dtype).itemsize
-        chunk = max(8, memory_budget_bytes // (4 * n_depth * window * itemsize))
+        chunk = memory_budget_bytes // (4 * n_depth * window * itemsize)
+        chunk = max(32, (chunk // 8) * 8)  # sublane-aligned, bounded below
         chunk = int(min(chunk, max(8, n_lines)))
 
     # pad lines to a chunk multiple; padded entries get alpha=0 and an
@@ -533,7 +539,10 @@ def accumulate_line_opacity_blocked(
             continue
         c = chunk
         if c is None:
-            c = max(8, memory_budget_bytes // (4 * blk * w * itemsize))
+            c = memory_budget_bytes // (4 * blk * w * itemsize)
+            # sublane-aligned; <=4096 scan iterations (see _accumulate_dense)
+            c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
+            c = -(-c // 8) * 8
         c = int(min(c, max(8, n_pairs)))
         pad = (-n_pairs) % c
         li = np.concatenate([line_idx, np.zeros(pad, np.int64)]) if pad else line_idx
