@@ -330,7 +330,9 @@ def accumulate_line_opacity(
     if chunk is None:
         itemsize = jnp.dtype(dtype).itemsize
         chunk = memory_budget_bytes // (4 * n_depth * window * itemsize)
-        chunk = max(32, (chunk // 8) * 8)  # sublane-aligned, bounded below
+        # sublane-aligned; <=4096 scan iterations (see _accumulate_dense)
+        chunk = max(32, (chunk // 8) * 8, -(-n_lines // 4096))
+        chunk = -(-chunk // 8) * 8
         chunk = int(min(chunk, max(8, n_lines)))
 
     # pad lines to a chunk multiple; padded entries get alpha=0 and an

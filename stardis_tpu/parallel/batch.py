@@ -45,15 +45,26 @@ def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
     plan = build_simulation_plan(
         config, atom_data, stellar_models[0], tracing_nus_hz, dtype=dtype
     )
+    return plan, collect_batch_inputs(config, stellar_models, plan,
+                                      dtype=dtype)
+
+
+def collect_batch_inputs(config, stellar_models, plan,
+                         dtype=np.float64) -> BatchInputs:
+    """Per-model arrays for an existing template plan (reusable by serving
+    so repeated batches hit run_batch's compiled-stage cache)."""
     thetas, _ = gauss_legendre_thetas(int(config.no_of_thetas))
+    n_depth = len(plan.temperatures)
 
     temps, n_elem, rays = [], [], []
     for model in stellar_models:
-        if model.no_of_depth_points != stellar_models[0].no_of_depth_points:
+        if model.no_of_depth_points != n_depth:
             raise ValueError("all models in a batch need equal depth points")
         temps.append(np.asarray(model.temperatures, dtype=dtype))
+        # align element rows to the plan tables' sorted-Z order
         n_elem.append(
-            model.composition.elemental_number_density.values.astype(dtype)
+            model.composition.elemental_number_density.loc[plan.tables.zs]
+            .values.astype(dtype)
         )
         r = np.asarray(model.geometry.r, dtype=dtype)
         if model.spherical:
@@ -62,7 +73,7 @@ def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
             rays.append(
                 (np.diff(r)[:, None] / np.cos(thetas)[None, :]).astype(dtype)
             )
-    return plan, BatchInputs(
+    return BatchInputs(
         temperatures=np.stack(temps),
         n_elem=np.stack(n_elem),
         ray_distances=np.stack(rays),
@@ -71,9 +82,18 @@ def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
 
 # jit re-traces when the Python callable is new, so building closures per
 # call would recompile every run_batch invocation; cache compiled stages by
-# plan identity (+ tier content for stage 2)
+# plan identity (+ tier content for stage 2), evicting oldest entries so
+# one-shot plans don't pin executables forever
 _STAGE1_CACHE = {}
 _STAGE2_CACHE = {}
+_CACHE_LIMIT = 32
+
+
+def _cache_put(cache, key, value):
+    if len(cache) >= _CACHE_LIMIT:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+    return value
 
 
 def _window_fingerprint(window):
@@ -117,10 +137,11 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     key1 = id(plan)
     stage1 = _STAGE1_CACHE.get(key1)
     if stage1 is None:
-        stage1 = jax.jit(
-            jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n))
+        stage1 = _cache_put(
+            _STAGE1_CACHE,
+            key1,
+            jax.jit(jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n))),
         )
-        _STAGE1_CACHE[key1] = stage1
     state, lq = stage1(temps, n_elem)
     from stardis_tpu.pipeline import validate_line_quants
 
@@ -138,7 +159,20 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
 
         window = {}
         for key, (alpha, gamma, doppler) in lq.items():  # each [B, L, D]
-            win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+            if plan.window_mode == "accuracy":
+                from stardis_tpu.opacities.line_kernel import (
+                    window_pixels_accuracy,
+                )
+                from stardis_tpu.pipeline import accuracy_epsilon
+
+                # per-model epsilon; the tier budget takes the batch max
+                eps = jax.vmap(lambda s: accuracy_epsilon(plan, s))(state)
+                win = window_pixels_accuracy(
+                    alpha, gamma, doppler, plan.d_nu,
+                    epsilon=eps[:, None, :],
+                )
+            else:
+                win = window_pixels(alpha, gamma, doppler, plan.d_nu)
             if plan.window_block > 0:
                 win_line_depth = np.asarray(jnp.max(win, axis=0))  # [L, D]
                 window[key] = assign_window_tiers_blocked(
@@ -166,8 +200,7 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
                                       ray_distances=rd)
             return f_nu
 
-        stage2 = jax.jit(jax.vmap(one))
-        _STAGE2_CACHE[key2] = stage2
+        stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(jax.vmap(one)))
     return stage2(state, lq, rays)
 
 

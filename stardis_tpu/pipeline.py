@@ -445,6 +445,15 @@ def stage_spectrum(
     tracing_nus = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
     opacities = compute_continuum(plan, state, tracing_nus)
 
+    # the line kernels consume the grid ONLY through dnu = grid - line_nu;
+    # shifting both by a reference frequency (in float64, host-side) before
+    # the dtype cast removes the catastrophic f32 cancellation of two
+    # ~4.5e14 Hz values (ulp ~3e7 Hz ~ 4% of a 0.01 AA pixel otherwise)
+    nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
+    tracing_centered = jnp.asarray(
+        plan.tracing_nus - nu_ref, dtype=state.t.dtype
+    )
+
     line_quants = line_quants or {}
     eps = (
         accuracy_epsilon(plan, state)[None, :]
@@ -455,25 +464,27 @@ def stage_spectrum(
     def accumulate(key, line_nus_host, triple):
         alpha, gamma, doppler = triple
         centers = line_center_indices(plan.tracing_nus, line_nus_host)
-        line_nu_dev = jnp.asarray(line_nus_host, dtype=alpha.dtype)
+        line_nu_dev = jnp.asarray(line_nus_host - nu_ref, dtype=alpha.dtype)
         centers_dev = jnp.asarray(centers)
         spec = window[key] if isinstance(window, dict) else window
         if isinstance(spec, BlockedTiers):
             return accumulate_line_opacity_blocked(
-                tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
+                tracing_centered, line_nu_dev, centers_dev,
+                alpha, gamma, doppler,
                 blocked=spec, d_nu=plan.d_nu, chunk=chunk,
                 window_mode=plan.window_mode,
                 window_epsilon=eps,
             )
         if isinstance(spec, (list, tuple)):
             return accumulate_line_opacity_tiered(
-                tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
+                tracing_centered, line_nu_dev, centers_dev,
+                alpha, gamma, doppler,
                 tiers=spec, d_nu=plan.d_nu, chunk=chunk,
                 window_mode=plan.window_mode,
                 window_epsilon=eps,
             )
         return accumulate_line_opacity(
-            tracing_nus, line_nu_dev, centers_dev, alpha, gamma, doppler,
+            tracing_centered, line_nu_dev, centers_dev, alpha, gamma, doppler,
             window=int(spec), d_nu=plan.d_nu, chunk=chunk,
             window_mode=plan.window_mode,
             window_epsilon=eps,

@@ -110,6 +110,7 @@ class SpectralService:
         import jax.numpy as jnp
 
         from stardis_tpu.opacities.line_kernel import (
+            assign_window_tiers,
             assign_window_tiers_blocked,
             window_pixels,
             window_pixels_accuracy,
@@ -119,7 +120,6 @@ class SpectralService:
         plan = self._plan
         n_nu = len(plan.tracing_nus)
         window = {}
-        win_blocked = {}
         for key, (alpha, gamma, doppler) in (lq or {}).items():
             if plan.window_mode == "accuracy":
                 eps = accuracy_epsilon(plan, state)[None, :]
@@ -128,11 +128,15 @@ class SpectralService:
                 )
             else:
                 win = window_pixels(alpha, gamma, doppler, plan.d_nu)
-            window[key] = assign_window_tiers_blocked(
-                np.asarray(win) * self._tier_margin, n_nu,
-                block=max(plan.window_block, 1),
-            )
-            win_blocked[key] = window[key]
+            if plan.window_block > 0:
+                window[key] = assign_window_tiers_blocked(
+                    np.asarray(win) * self._tier_margin, n_nu,
+                    block=plan.window_block,
+                )
+            else:  # user opted into per-line tiers
+                window[key] = assign_window_tiers(
+                    np.asarray(win).max(axis=1) * self._tier_margin, n_nu
+                )
         self._window = window
 
         chunk = self._chunk
@@ -168,21 +172,31 @@ class SpectralService:
                 else:
                     win = window_pixels(alpha, gamma, doppler, plan.d_nu)
                 bt = window[key]
-                blk, nb = bt.block, bt.n_blocks
-                d_pad = blk * nb
-                n_lines, n_depth = win.shape
-                if d_pad != n_depth:
-                    win = jnp.concatenate(
-                        [win, jnp.zeros((n_lines, d_pad - n_depth), win.dtype)],
-                        axis=1,
-                    )
-                win_blk = win.reshape(n_lines, nb, blk).max(axis=2)
                 full = int(np.ceil(2 * n_nu / 128.0) * 128)
-                for li, bi, w in bt.tiers:
-                    if w >= full:
-                        continue  # grid-covering tier fits by construction
-                    pair_win = win_blk[jnp.asarray(li), jnp.asarray(bi)]
-                    ok = ok & jnp.all(2.0 * jnp.ceil(pair_win) <= w)
+                if hasattr(bt, "tiers") and hasattr(bt, "block"):
+                    blk, nb = bt.block, bt.n_blocks
+                    d_pad = blk * nb
+                    n_lines, n_depth = win.shape
+                    if d_pad != n_depth:
+                        win = jnp.concatenate(
+                            [win,
+                             jnp.zeros((n_lines, d_pad - n_depth), win.dtype)],
+                            axis=1,
+                        )
+                    win_blk = win.reshape(n_lines, nb, blk).max(axis=2)
+                    for li, bi, w in bt.tiers:
+                        if w >= full:
+                            continue  # grid-covering tier always fits
+                        pair_win = win_blk[jnp.asarray(li), jnp.asarray(bi)]
+                        ok = ok & jnp.all(2.0 * jnp.ceil(pair_win) <= w)
+                else:  # per-line tier list
+                    win_line = win.max(axis=1)
+                    for li, w in bt:
+                        if w >= full:
+                            continue
+                        ok = ok & jnp.all(
+                            2.0 * jnp.ceil(win_line[jnp.asarray(li)]) <= w
+                        )
             return ok
 
         import jax as _jax
@@ -211,6 +225,26 @@ class SpectralService:
         if len(temps_np) != len(plan.temperatures):
             raise ValueError(
                 "all served models must share the plan's depth count"
+            )
+        if bool(stellar_model.spherical) != bool(plan.inward_rays):
+            raise ValueError(
+                "this request's geometry (spherical="
+                f"{bool(stellar_model.spherical)}) does not match the plan "
+                f"(spherical={bool(plan.inward_rays)}); rebuild the service"
+            )
+        micro = stellar_model.microturbulence
+        micro_cgs = (
+            float(micro.cgs.value) if hasattr(micro, "cgs") else float(micro)
+        )
+        if getattr(self.config.opacity.line, "disable_microturbulence", False):
+            micro_cgs = 0.0  # the plan bakes 0 when disabled
+        if not np.isclose(
+            micro_cgs, plan.microturbulence_cgs, rtol=1e-6, atol=1e-6
+        ):
+            raise ValueError(
+                f"microturbulence {micro_cgs} differs from the plan's "
+                f"{plan.microturbulence_cgs} (baked per service); rebuild "
+                "the service"
             )
         if plan.file_sources and not np.allclose(
             temps_np, self._plan_temps, rtol=self._file_opacity_rtol
@@ -270,13 +304,28 @@ class SpectralService:
 
     def synthesize_batch(self, stellar_models):
         """Serve a homogeneous list of models through the vmapped batch
-        path (one compile per batch shape; embarrassingly parallel)."""
-        from stardis_tpu.parallel.batch import make_batch, run_batch
-
-        plan, batch = make_batch(
-            self.config, self.atom_data, stellar_models, self._nus,
-            dtype=self._dtype,
+        path.  The batch template plan is built once per service, so
+        run_batch's compiled-stage cache (keyed by plan identity + tier
+        content) hits on repeated batches of the same shape."""
+        from stardis_tpu.parallel.batch import (
+            collect_batch_inputs,
+            make_batch,
+            run_batch,
         )
+
+        first_call = getattr(self, "_batch_plan", None) is None
+        if first_call:
+            self._batch_plan, batch = make_batch(
+                self.config, self.atom_data, stellar_models, self._nus,
+                dtype=self._dtype,
+            )
+            self.stats.compiles += 1
+        else:
+            batch = collect_batch_inputs(
+                self.config, stellar_models, self._batch_plan,
+                dtype=self._dtype,
+            )
         self.stats.requests += len(stellar_models)
-        self.stats.compiles += 1
-        return np.asarray(run_batch(plan, batch, chunk=self._chunk))
+        return np.asarray(
+            run_batch(self._batch_plan, batch, chunk=self._chunk)
+        )
