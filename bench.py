@@ -31,10 +31,12 @@ N_LINES = int(os.environ.get("BENCH_N_LINES", "100000"))
 # Branchless Humlicek-w4 Voigt (opacities/voigt.py) evaluates all four
 # regions per point: ~250 f32 FLOPs/eval counting exp/cos as 1 (hand count
 # over _cmul/_cdiv/Horner chains), plus ~10 for window masking and the
-# scatter-add operand.  TPU v5e VPU f32 peak ~= 8 sublanes x 128 lanes x 4
-# ALUs x 0.94 GHz ~= 3.9e12 FLOP/s (the MXU's 197 TFLOP/s bf16 does not
-# apply to this elementwise workload).
+# scatter-add operand.  The split dense path evaluates far wings with the
+# region-I formula only (~55 FLOPs incl. masking).  TPU v5e VPU f32 peak
+# ~= 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.9e12 FLOP/s (the
+# MXU's 197 TFLOP/s bf16 does not apply to this elementwise workload).
 FLOPS_PER_VOIGT_EVAL = 260.0
+FLOPS_PER_WING_EVAL = 55.0
 V5E_VPU_F32_PEAK = 3.9e12
 
 
@@ -102,23 +104,49 @@ def tier_histogram(window):
     }
 
 
-def voigt_evals(window, n_depth, n_nu):
-    """Voigt evaluation count per pipeline execution, from the tier plan.
-    Dense tiers (line_kernel.is_dense_tier) do n_nu evals/pair."""
+def voigt_flops(window, n_depth, n_nu):
+    """(evals, flops) per pipeline execution, from the tier plan.  Dense
+    tiers do n_nu evals/pair; with a core_half set they split into
+    region-I wings (cheap) + 3-panel full-Voigt cores."""
+    import numpy as _np
+
     from stardis_tpu.opacities.line_kernel import is_dense_tier
 
-    def evals(w):
-        return n_nu if is_dense_tier(w, n_nu) else w
-
-    total = 0
+    total_evals = 0
+    total_flops = 0.0
     for key, tiers in window.items():
-        if hasattr(tiers, "histogram"):  # BlockedTiers: pairs x block x W
-            total += sum(
-                n * tiers.block * evals(w) for n, w in tiers.histogram()
+        if hasattr(tiers, "histogram"):  # BlockedTiers
+            ch = tiers.core_half
+            panel = (
+                int(_np.ceil(max(2 * (ch or 0), 128) / 128.0) * 128)
+                if ch
+                else 0
             )
+            split = ch is not None and n_nu >= 4 * panel
+            for n, w in tiers.histogram():
+                if is_dense_tier(w, n_nu):
+                    if split:
+                        wing = n * tiers.block * n_nu
+                        core = n * tiers.block * 3 * panel
+                        total_evals += wing + core
+                        total_flops += (
+                            wing * FLOPS_PER_WING_EVAL
+                            + core * FLOPS_PER_VOIGT_EVAL
+                        )
+                    else:
+                        e = n * tiers.block * n_nu
+                        total_evals += e
+                        total_flops += e * FLOPS_PER_VOIGT_EVAL
+                else:
+                    e = n * tiers.block * w
+                    total_evals += e
+                    total_flops += e * FLOPS_PER_VOIGT_EVAL
         else:
-            total += sum(len(idx) * n_depth * evals(w) for idx, w in tiers)
-    return total
+            for idx, w in tiers:
+                e = len(idx) * n_depth * min(w, n_nu)
+                total_evals += e
+                total_flops += e * FLOPS_PER_VOIGT_EVAL
+    return total_evals, total_flops
 
 
 def main():
@@ -149,7 +177,7 @@ def main():
 
     window = line_window_tiers(plan, lq, state)
     tier_info = tier_histogram(window)
-    n_evals = voigt_evals(
+    n_evals, flop_count = voigt_flops(
         window, len(plan.temperatures), len(plan.tracing_nus)
     )
 
@@ -171,7 +199,7 @@ def main():
 
     cells_per_s = n_cells / wall
     lines_per_s = n_lines / wall
-    flops = n_evals * FLOPS_PER_VOIGT_EVAL / wall
+    flops = flop_count / wall
     mfu = flops / V5E_VPU_F32_PEAK
     baseline_floor = 560_000 / 1800.0  # asv Sim100AA timeout-cap floor
     result = {

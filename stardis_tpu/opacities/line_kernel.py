@@ -117,6 +117,13 @@ class BlockedTiers:
     tiers: list
     block: int
     n_blocks: int
+    # static core half-width [pixels] for the split dense path: outside
+    # +-core_half of a line center, |x| = |dnu|/doppler > 15.5 for every
+    # line/depth in the set, so the Humlicek selector provably lands in
+    # region I and the far wings can use the cheap region-I formula.
+    # None disables the split (e.g. when the caller cannot provide host
+    # center indices, as under shard_map).
+    core_half: int | None = None
 
     def histogram(self):
         return [(len(li), w) for li, bi, w in self.tiers]
@@ -435,6 +442,232 @@ def accumulate_line_opacity_tiered(
     return out
 
 
+def _accumulate_dense_split(
+    tracing_nus_desc,  # [N]
+    line_nu,  # [L] (centered frame)
+    center_idx,  # [L] device
+    center_idx_host,  # [L] host numpy (panel grouping)
+    alpha_b,  # [L, NB, B] blocked
+    gamma_b,
+    doppler_b,
+    line_idx,  # [P] host pair line indices
+    block_idx,  # [P] host pair block indices
+    blk: int,
+    n_blocks: int,
+    core_half: int,
+    d_nu: float,
+    chunk,
+    memory_budget_bytes: int,
+    window_mode: str,
+    eps_b,  # scalar or [NB, B] per-depth epsilon
+    per_depth_eps: bool,
+    acc,  # [n_nu * NB, B] carried accumulator
+):
+    """Split dense accumulation for a grid-covering tier.
+
+    Two exact passes over the (pair, pixel) set:
+    * WING (|offset| >= core_half): the region-I Voigt only — provably the
+      same formula the branchless kernel selects there — over the whole
+      grid, reduced across pairs by a one-hot depth-block matmul (MXU);
+    * CORE (|offset| < core_half): full branchless Voigt over a 3-panel
+      slice around each pair's center panel (pairs grouped by panel
+      host-side; static slice adds, no scatter).
+    """
+    from stardis_tpu.opacities.voigt import voigt_profile_region1
+
+    n_nu = tracing_nus_desc.shape[0]
+    dtype = alpha_b.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    n_pairs = len(line_idx)
+    nb_range = jnp.arange(n_blocks)
+
+    def gather(li, bi):
+        li_d, bi_d = jnp.asarray(li), jnp.asarray(bi)
+        p_eps = None
+        if per_depth_eps:
+            p_eps = eps_b[bi_d]
+        else:
+            p_eps = jnp.full((len(li), blk), eps_b, dtype=dtype)
+        return (
+            line_nu[li_d],
+            center_idx[li_d],
+            alpha_b[li_d, bi_d],
+            gamma_b[li_d, bi_d],
+            doppler_b[li_d, bi_d],
+            (bi_d[:, None] == nb_range[None, :]).astype(dtype),  # onehot
+            p_eps,
+        )
+
+    def win_of(c_alpha, c_gamma, c_doppler, c_eps):
+        if window_mode == "accuracy":
+            return window_pixels_accuracy(
+                c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
+            )
+        return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
+
+    def run_scan(li, bi, cols, tr_cols, phi_fn, extra_mask_fn, c):
+        """Chunked scan over pairs; returns [len(cols), NB, B]."""
+        n_p = len(li)
+        pad = (-n_p) % c
+        li = np.concatenate([li, np.zeros(pad, np.int64)]) if pad else li
+        bi = np.concatenate([bi, np.zeros(pad, np.int64)]) if pad else bi
+        p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps = gather(li, bi)
+        if pad:
+            live = jnp.arange(n_p + pad) < n_p
+            p_a = jnp.where(live[:, None], p_a, 0.0)
+            p_cen = jnp.where(live, p_cen, -(10 * (n_nu + len(cols))))
+        n_chunks = (n_p + pad) // c
+        cols_f = cols.astype(dtype)
+
+        def body(carry, data):
+            c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
+            off = cols_f[None, :] - c_cen[:, None].astype(dtype)  # [C, W]
+            dnu = tr_cols[None, :] - c_nu[:, None]
+            win = win_of(c_a, c_g, c_d, c_eps)  # [C, B]
+            iw = jnp.floor(win)
+            within = (off[:, None, :] >= -iw[:, :, None]) & (
+                off[:, None, :] < iw[:, :, None]
+            )
+            mask = within & extra_mask_fn(off)[:, None, :]
+            phi = phi_fn(
+                dnu[:, None, :], c_d[:, :, None], c_g[:, :, None]
+            )
+            contrib = jnp.where(mask, phi * c_a[:, :, None], 0.0)
+            # reduce over the chunk: route each pair to its depth block
+            # via a one-hot matmul (deterministic, MXU-friendly)
+            upd = jax.lax.dot_general(
+                contrib, c_oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )  # [B, W, NB]
+            return carry + upd, None
+
+        carry0 = jnp.zeros((blk, len(cols), n_blocks), dtype=dtype) + (
+            tr_cols[None, :, None] * 0.0
+        ).astype(dtype)
+        chunks = tuple(
+            x.reshape((n_chunks, c) + x.shape[1:])
+            for x in (p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps)
+        )
+        out, _ = jax.lax.scan(body, carry0, chunks)
+        return out.transpose(1, 2, 0)  # [W, NB, B]
+
+    # ---- wing pass: whole grid, region-I only -------------------------
+    c_wing = chunk
+    if c_wing is None:
+        c_wing = memory_budget_bytes // (4 * blk * n_nu * itemsize)
+        c_wing = max(32, (c_wing // 8) * 8, -(-n_pairs // 4096))
+        c_wing = -(-c_wing // 8) * 8
+    c_wing = int(min(c_wing, max(8, n_pairs)))
+    cols = np.arange(n_nu)
+    wing = run_scan(
+        line_idx, block_idx, cols, tracing_nus_desc,
+        phi_fn=voigt_profile_region1,
+        extra_mask_fn=lambda off: jnp.abs(off) >= core_half,
+        c=c_wing,
+    )  # [N, NB, B]
+    acc = acc + wing.reshape(n_nu * n_blocks, blk)
+
+    # ---- core pass: panel-grouped full Voigt, ONE scan -----------------
+    # pairs are bucketed by the panel containing their center (host side),
+    # each bucket padded to chunk multiples; the single scan carries a
+    # padded accumulator and places each chunk's [3P, NB, B] update at its
+    # chunk's panel offset with a dynamic read-modify-write (sequential in
+    # the scan -> deterministic).  One scan keeps the HLO small — a
+    # Python loop of per-panel scans OOM-killed the XLA compile helper.
+    panel = int(np.ceil(max(2 * core_half, 128) / 128.0) * 128)
+    n_panels = -(-n_nu // panel)
+    centers_pair = np.asarray(center_idx_host)[line_idx]
+    panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
+
+    c_core = chunk
+    if c_core is None:
+        c_core = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
+        c_core = max(32, (c_core // 8) * 8, -(-n_pairs // 4096))
+        c_core = -(-c_core // 8) * 8
+    c_core = int(min(c_core, max(8, n_pairs)))
+
+    li_chunks, bi_chunks, off_chunks = [], [], []
+    for g in range(n_panels):
+        sel = np.nonzero(panel_of == g)[0]
+        if len(sel) == 0:
+            continue
+        pad_g = (-len(sel)) % c_core
+        li_g = np.concatenate([line_idx[sel], np.zeros(pad_g, np.int64)])
+        bi_g = np.concatenate([block_idx[sel], np.zeros(pad_g, np.int64)])
+        live_g = np.arange(len(sel) + pad_g) < len(sel)
+        li_chunks.append((li_g, bi_g, live_g, g))
+        off_chunks.extend([g * panel] * ((len(sel) + pad_g) // c_core))
+    if not li_chunks:
+        return acc
+
+    li_all = np.concatenate([x[0] for x in li_chunks])
+    bi_all = np.concatenate([x[1] for x in li_chunks])
+    live_all = np.concatenate([x[2] for x in li_chunks])
+    n_chunks = len(off_chunks)
+
+    pad_len = panel * (n_panels + 2)
+    tr_pad = jnp.concatenate(
+        [
+            jnp.full((panel,), tracing_nus_desc[0], dtype),
+            tracing_nus_desc,
+            jnp.full((pad_len - panel - n_nu,), tracing_nus_desc[-1], dtype),
+        ]
+    )
+    p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps = gather(li_all, bi_all)
+    live_dev = jnp.asarray(live_all)
+    p_a = jnp.where(live_dev[:, None], p_a, 0.0)
+    p_cen = jnp.where(live_dev, p_cen, -(10 * (n_nu + pad_len)))
+    offs = jnp.asarray(off_chunks, dtype=jnp.int32)  # padded col of slice
+    w3 = 3 * panel
+    rel = jnp.arange(w3)
+
+    def core_body(acc_pad, data):
+        off0, c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
+        tr_slice = jax.lax.dynamic_slice(tr_pad, (off0,), (w3,))
+        # padded col -> global pixel: global = padded - panel
+        pix = (off0 - panel + rel).astype(dtype)  # [W3]
+        in_grid = (pix >= 0) & (pix < n_nu)
+        off = pix[None, :] - c_cen[:, None].astype(dtype)  # [C, W3]
+        dnu = tr_slice[None, :] - c_nu[:, None]
+        win = win_of(c_a, c_g, c_d, c_eps)
+        iw = jnp.floor(win)
+        within = (off[:, None, :] >= -iw[:, :, None]) & (
+            off[:, None, :] < iw[:, :, None]
+        )
+        mask = (
+            within
+            & (jnp.abs(off) < core_half)[:, None, :]
+            & in_grid[None, None, :]
+        )
+        phi = voigt_profile(dnu[:, None, :], c_d[:, :, None], c_g[:, :, None])
+        contrib = jnp.where(mask, phi * c_a[:, :, None], 0.0)
+        upd = jax.lax.dot_general(
+            contrib, c_oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        ).transpose(1, 2, 0)  # [W3, NB, B]
+        zero = jnp.zeros((), dtype=off0.dtype)
+        cur = jax.lax.dynamic_slice(
+            acc_pad, (off0, zero, zero), (w3, n_blocks, blk)
+        )
+        return (
+            jax.lax.dynamic_update_slice(acc_pad, cur + upd, (off0, zero, zero)),
+            None,
+        )
+
+    acc_pad0 = jnp.zeros((pad_len, n_blocks, blk), dtype=dtype) + (
+        tr_pad[:, None, None] * 0.0
+    ).astype(dtype)
+    chunks = (offs,) + tuple(
+        x.reshape((n_chunks, c_core) + x.shape[1:])
+        for x in (p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps)
+    )
+    core_acc, _ = jax.lax.scan(core_body, acc_pad0, chunks)
+    acc = acc + core_acc[panel : panel + n_nu].reshape(n_nu * n_blocks, blk)
+    return acc
+
+
 def accumulate_line_opacity_blocked(
     tracing_nus_desc,  # [N] descending, device array (or local shard)
     line_nu,  # [L] device
@@ -448,6 +681,7 @@ def accumulate_line_opacity_blocked(
     memory_budget_bytes: int = 1 << 29,
     window_mode: str = "reference",
     window_epsilon=1e-12,  # scalar or per-depth [1, D] array
+    center_idx_host=None,  # [L] host numpy: enables the split dense path
 ):
     """Depth-blocked tiered accumulation: each (line, depth-block) pair runs
     at its own tier's window width.  Work per tier is [pairs, block, W_k]
@@ -501,6 +735,26 @@ def accumulate_line_opacity_blocked(
         if n_pairs == 0:
             continue
         if is_dense_tier(w, n_nu):
+            core_half = blocked.core_half
+            panel = (
+                int(np.ceil(max(2 * (core_half or 0), 128) / 128.0) * 128)
+                if core_half
+                else 0
+            )
+            if (
+                core_half is not None
+                and center_idx_host is not None
+                and n_nu >= 4 * panel
+            ):
+                # split dense: cheap region-I wings + panel-grouped cores
+                acc = _accumulate_dense_split(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b,
+                    line_idx, block_idx, blk, n_blocks, core_half,
+                    d_nu, chunk, memory_budget_bytes, window_mode,
+                    eps_b, per_depth_eps, acc,
+                )
+                continue
             # wide tier: dense evaluation per depth-block group — no
             # scatter (the narrow [*, blk] scatter rows dominate cost
             # otherwise; measured on v5e, scatter rows cost ~10x a dense

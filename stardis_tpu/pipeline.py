@@ -357,9 +357,15 @@ def line_window_tiers(plan, line_quants, state=None):
         else:
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
         if plan.window_block > 0:
-            tiers[key] = assign_window_tiers_blocked(
+            bt = assign_window_tiers_blocked(
                 np.asarray(win), n_nu, block=plan.window_block
             )
+            # static core half-width for the split dense path: beyond it,
+            # |dnu|/doppler > 15.5 for every line/depth, so the far wings
+            # can run the cheap region-I Voigt (see _accumulate_dense_split)
+            d_max = float(_jnp.max(line_quants[key][2]))
+            bt.core_half = int(np.ceil(15.5 * d_max / plan.d_nu)) + 2
+            tiers[key] = bt
         else:
             win_per_line = np.asarray(_jnp.max(win, axis=1))
             tiers[key] = assign_window_tiers(win_per_line, n_nu)
@@ -474,6 +480,7 @@ def stage_spectrum(
                 blocked=spec, d_nu=plan.d_nu, chunk=chunk,
                 window_mode=plan.window_mode,
                 window_epsilon=eps,
+                center_idx_host=centers,
             )
         if isinstance(spec, (list, tuple)):
             return accumulate_line_opacity_tiered(

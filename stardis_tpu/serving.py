@@ -129,10 +129,17 @@ class SpectralService:
             else:
                 win = window_pixels(alpha, gamma, doppler, plan.d_nu)
             if plan.window_block > 0:
-                window[key] = assign_window_tiers_blocked(
+                bt = assign_window_tiers_blocked(
                     np.asarray(win) * self._tier_margin, n_nu,
                     block=plan.window_block,
                 )
+                # split-dense core width, with the tier margin so hotter
+                # requests (larger doppler) stay within the frozen core
+                d_max = float(jnp.max(doppler))
+                bt.core_half = int(
+                    np.ceil(15.5 * d_max * self._tier_margin / plan.d_nu)
+                ) + 2
+                window[key] = bt
             else:  # user opted into per-line tiers
                 window[key] = assign_window_tiers(
                     np.asarray(win).max(axis=1) * self._tier_margin, n_nu
@@ -173,6 +180,13 @@ class SpectralService:
                     win = window_pixels(alpha, gamma, doppler, plan.d_nu)
                 bt = window[key]
                 full = int(np.ceil(2 * n_nu / 128.0) * 128)
+                if getattr(bt, "core_half", None):
+                    # split-dense exactness: the region-I wing pass needs
+                    # |x| > 15.5 beyond the frozen core for THIS request's
+                    # doppler widths too
+                    _, _, doppler = q[key]
+                    need = 15.5 * jnp.max(doppler) / plan.d_nu + 2.0
+                    ok = ok & (need <= bt.core_half)
                 if hasattr(bt, "tiers") and hasattr(bt, "block"):
                     blk, nb = bt.block, bt.n_blocks
                     d_pad = blk * nb

@@ -150,3 +150,53 @@ def test_line_center_indices_descending_grid():
     # a line at 3.5e14 sits between indices 1 (4e14) and 2 (3e14)
     centers = line_center_indices(nus, np.array([3.5e14]))
     assert centers[0] in (2,)  # reference convention: len - searchsorted
+
+
+@pytest.mark.parametrize("strong", [False, True])
+def test_split_dense_matches_numpy_oracle(strong):
+    """The split dense path (region-I wings + panel-grouped full-Voigt
+    cores) must reproduce the oracle exactly like the plain dense path:
+    beyond the core, |x| > 15.5 guarantees the branchless kernel would
+    select region I anyway."""
+    from stardis_tpu.opacities.line_kernel import (
+        accumulate_line_opacity_blocked,
+        assign_window_tiers_blocked,
+    )
+
+    # larger grid so the dense tier takes the split path (n_nu >= 4*panel)
+    nus, line_nu, alpha, gamma, doppler = _random_setup(
+        n_lines=30, n_depth=12, n_nu=1500, strong=strong
+    )
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, len(nus), block=4)
+    blocked.core_half = int(np.ceil(15.5 * doppler.max() / d_nu)) + 2
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    split = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=16,
+        center_idx_host=centers,
+    )
+    plain = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=16,
+        center_idx_host=None,
+    )
+    oracle = accumulate_line_opacity_reference(
+        nus, line_nu, alpha, gamma, doppler
+    )
+    np.testing.assert_allclose(np.asarray(split), oracle, rtol=5e-4,
+                               atol=1e-30)
+    # and agree with the non-split dense path to f64 rounding
+    np.testing.assert_allclose(
+        np.asarray(split), np.asarray(plain), rtol=1e-12, atol=1e-300
+    )
