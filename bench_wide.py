@@ -1,6 +1,10 @@
 """Wide-grid stress: full visible spectrum (4000-7000 AA, 150k points) with
-a 100k-line synthetic VALD list.  Usage: python bench_wide.py [n_lambda]."""
+a 100k-line synthetic VALD list.
+
+Usage: python bench_wide.py [n_lambda] [reference|accuracy]
+"""
 # full-visible stress: 4000-7000 AA @ 0.02 AA = 150k lambda-points, 100k lines
+import sys
 import time, os, tempfile
 import numpy as np, yaml
 import jax, jax.numpy as jnp
@@ -18,12 +22,14 @@ cfg = {"stardis_config_version": 1.0, "atom_data": "builtin:30",
   "line": {"disable": False,
    "broadening": ["radiation", "linear_stark", "quadratic_stark", "van_der_waals"],
    "vald_linelist": {"use_linelist": True, "use_vald_broadening": True},
-   "window_mode": "accuracy", "window_epsilon": 1e-4}},
+   "window_mode": (sys.argv[2] if len(sys.argv) > 2 else "reference"),
+   "window_epsilon": 1e-4}},
  "no_of_thetas": 20, "result_options": {}}
 cp = os.path.join(tmp, "c.yml"); yaml.safe_dump(cfg, open(cp, "w"))
 config, adata, model = parse_config_to_model(cp)
 synth_linelist(adata, 100_000, lam_lo=3950.0, lam_hi=7050.0)
-lam = np.arange(4000.0, 7000.0, 0.02)
+n_lam = int(sys.argv[1]) if len(sys.argv) > 1 else 150000
+lam = np.linspace(4000.0, 7000.0, n_lam)
 nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
 plan = build_simulation_plan(config, adata, model, nus, dtype=np.float32)
 temps = jnp.asarray(plan.temperatures); n_elem = jnp.asarray(plan.n_elem)
