@@ -175,10 +175,16 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
                 win = window_pixels(alpha, gamma, doppler, plan.d_nu)
             if plan.window_block > 0:
                 win_line_depth = np.asarray(jnp.max(win, axis=0))  # [L, D]
-                window[key] = assign_window_tiers_blocked(
+                bt = assign_window_tiers_blocked(
                     win_line_depth, len(plan.tracing_nus),
                     block=plan.window_block,
                 )
+                # split-dense core width from the batch-max doppler
+                d_max = float(jnp.max(doppler))
+                bt.core_half = int(
+                    np.ceil(15.5 * d_max / plan.d_nu)
+                ) + 2
+                window[key] = bt
             else:
                 win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))
                 window[key] = assign_window_tiers(
