@@ -1,0 +1,107 @@
+"""Worker for the live multi-process test (tests/test_multihost.py).
+
+Each process initializes jax.distributed against a localhost coordinator,
+builds the identical simulation, runs the sharded spectrum over the GLOBAL
+mesh (devices from both processes), and saves its addressable output
+shards for the parent test to reassemble.
+
+Usage: python multihost_worker.py <coordinator> <n_proc> <proc_id> <outdir>
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    coordinator, n_proc, proc_id, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=4"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from stardis_tpu.parallel import distributed
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=n_proc,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == n_proc
+    assert jax.device_count() == 4 * n_proc
+
+    import numpy as np
+    import jax.numpy as jnp
+    import yaml
+
+    from stardis_tpu import parse_config_to_model, units as u
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.parallel.sharding import shard_spectrum
+    from stardis_tpu.pipeline import (
+        build_simulation_plan,
+        line_window_tiers,
+        stage_plasma_and_lines,
+    )
+
+    # identical inputs on every process (SPMD)
+    model_path = os.path.join(outdir, "sun.mod")
+    if proc_id == 0:
+        write_marcs_file(model_path)
+    # wait for the file (process 0 writes it)
+    import time
+
+    for _ in range(100):
+        if os.path.exists(model_path):
+            break
+        time.sleep(0.1)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": model_path, "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "line": {"disable": False, "broadening": ["radiation"]},
+        },
+        "no_of_thetas": 3,
+        "result_options": {},
+    }
+    cfg_path = os.path.join(outdir, f"c{proc_id}.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(config, fh)
+    config, adata, model = parse_config_to_model(cfg_path)
+    lam = np.arange(6560.0, 6570.0, 0.05)
+    nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
+    plan = build_simulation_plan(config, adata, model, nus)
+
+    state, lq = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))(
+        jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem)
+    )
+    window = line_window_tiers(plan, lq, state)
+    mesh = distributed.make_global_mesh()  # all 8 devices, both processes
+    f_nu = shard_spectrum(plan, state, lq, window, mesh)
+
+    # save this process's addressable shards
+    shards = {}
+    for shard in f_nu.addressable_shards:
+        col0 = shard.index[1].start or 0
+        shards[f"col{col0}"] = np.asarray(shard.data)
+    np.savez(os.path.join(outdir, f"shards_{proc_id}.npz"), **shards)
+    print(f"proc {proc_id}: wrote {len(shards)} shards", flush=True)
+
+
+if __name__ == "__main__":
+    main()
