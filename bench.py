@@ -108,21 +108,18 @@ def voigt_flops(window, n_depth, n_nu):
     """(evals, flops) per pipeline execution, from the tier plan.  Dense
     tiers do n_nu evals/pair; with a core_half set they split into
     region-I wings (cheap) + 3-panel full-Voigt cores."""
-    import numpy as _np
-
-    from stardis_tpu.opacities.line_kernel import is_dense_tier
+    from stardis_tpu.opacities.line_kernel import (
+        is_dense_tier,
+        split_panel,
+    )
 
     total_evals = 0
     total_flops = 0.0
     for key, tiers in window.items():
         if hasattr(tiers, "histogram"):  # BlockedTiers
             ch = tiers.core_half
-            panel = (
-                int(_np.ceil(max(2 * (ch or 0), 128) / 128.0) * 128)
-                if ch
-                else 0
-            )
-            split = ch is not None and n_nu >= 4 * panel
+            panel = split_panel(ch) if ch else 0
+            split = bool(ch) and n_nu >= 4 * panel
             for n, w in tiers.histogram():
                 if is_dense_tier(w, n_nu):
                     if split:
@@ -143,7 +140,9 @@ def voigt_flops(window, n_depth, n_nu):
                     total_flops += e * FLOPS_PER_VOIGT_EVAL
         else:
             for idx, w in tiers:
-                e = len(idx) * n_depth * min(w, n_nu)
+                e = len(idx) * n_depth * (
+                    n_nu if is_dense_tier(w, n_nu) else w
+                )
                 total_evals += e
                 total_flops += e * FLOPS_PER_VOIGT_EVAL
     return total_evals, total_flops

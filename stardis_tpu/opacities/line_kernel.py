@@ -103,6 +103,25 @@ def is_dense_tier(window, n_nu):
     return DENSE_WINDOW_FRACTION * window >= n_nu
 
 
+def split_core_half(doppler_max, d_nu, margin: float = 1.0) -> int:
+    """Static core half-width [pixels] for the split dense path: beyond
+    it |x| = |dnu|/doppler > 15.5 for every line/depth (so the Humlicek
+    selector provably picks region I).  ``margin`` scales the doppler
+    budget (serving uses its tier margin so hotter requests still fit)."""
+    return int(np.ceil(15.5 * doppler_max * margin / d_nu)) + 2
+
+
+def split_panel(core_half) -> int:
+    """Panel width for the split dense core pass (128-lane aligned)."""
+    return int(np.ceil(max(2 * (core_half or 0), 128) / 128.0) * 128)
+
+
+def split_enabled(core_half, center_idx_host, n_nu) -> bool:
+    return bool(core_half) and center_idx_host is not None and (
+        n_nu >= 4 * split_panel(core_half)
+    )
+
+
 @dataclasses.dataclass
 class BlockedTiers:
     """Depth-blocked window tiers.
@@ -575,7 +594,7 @@ def _accumulate_dense_split(
     # chunk's panel offset with a dynamic read-modify-write (sequential in
     # the scan -> deterministic).  One scan keeps the HLO small — a
     # Python loop of per-panel scans OOM-killed the XLA compile helper.
-    panel = int(np.ceil(max(2 * core_half, 128) / 128.0) * 128)
+    panel = split_panel(core_half)
     n_panels = -(-n_nu // panel)
     centers_pair = np.asarray(center_idx_host)[line_idx]
     panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
@@ -736,16 +755,7 @@ def accumulate_line_opacity_blocked(
             continue
         if is_dense_tier(w, n_nu):
             core_half = blocked.core_half
-            panel = (
-                int(np.ceil(max(2 * (core_half or 0), 128) / 128.0) * 128)
-                if core_half
-                else 0
-            )
-            if (
-                core_half is not None
-                and center_idx_host is not None
-                and n_nu >= 4 * panel
-            ):
+            if split_enabled(core_half, center_idx_host, n_nu):
                 # split dense: cheap region-I wings + panel-grouped cores
                 acc = _accumulate_dense_split(
                     tracing_nus_desc, line_nu, center_idx, center_idx_host,

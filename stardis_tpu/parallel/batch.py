@@ -104,6 +104,7 @@ def _window_fingerprint(window):
         tiers = window[key]
         if hasattr(tiers, "histogram"):  # BlockedTiers
             h.update(str(tiers.block).encode())
+            h.update(str(tiers.core_half).encode())
             for li, bi, w in tiers.tiers:
                 h.update(str(w).encode())
                 h.update(np.ascontiguousarray(li).tobytes())
@@ -180,10 +181,11 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
                     block=plan.window_block,
                 )
                 # split-dense core width from the batch-max doppler
-                d_max = float(jnp.max(doppler))
-                bt.core_half = int(
-                    np.ceil(15.5 * d_max / plan.d_nu)
-                ) + 2
+                from stardis_tpu.opacities.line_kernel import split_core_half
+
+                bt.core_half = split_core_half(
+                    float(jnp.max(doppler)), plan.d_nu
+                )
                 window[key] = bt
             else:
                 win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))

@@ -363,8 +363,11 @@ def line_window_tiers(plan, line_quants, state=None):
             # static core half-width for the split dense path: beyond it,
             # |dnu|/doppler > 15.5 for every line/depth, so the far wings
             # can run the cheap region-I Voigt (see _accumulate_dense_split)
-            d_max = float(_jnp.max(line_quants[key][2]))
-            bt.core_half = int(np.ceil(15.5 * d_max / plan.d_nu)) + 2
+            from stardis_tpu.opacities.line_kernel import split_core_half
+
+            bt.core_half = split_core_half(
+                float(_jnp.max(line_quants[key][2])), plan.d_nu
+            )
             tiers[key] = bt
         else:
             win_per_line = np.asarray(_jnp.max(win, axis=1))

@@ -133,12 +133,19 @@ class SpectralService:
                     np.asarray(win) * self._tier_margin, n_nu,
                     block=plan.window_block,
                 )
-                # split-dense core width, with the tier margin so hotter
-                # requests (larger doppler) stay within the frozen core
-                d_max = float(jnp.max(doppler))
-                bt.core_half = int(
-                    np.ceil(15.5 * d_max * self._tier_margin / plan.d_nu)
-                ) + 2
+                if self._mesh is None:
+                    # split-dense core width, with the tier margin so
+                    # hotter requests (larger doppler) stay in the frozen
+                    # core; the sharded path never splits, so a mesh-backed
+                    # service leaves core_half unset (no spurious re-tiers)
+                    from stardis_tpu.opacities.line_kernel import (
+                        split_core_half,
+                    )
+
+                    bt.core_half = split_core_half(
+                        float(jnp.max(doppler)), plan.d_nu,
+                        margin=self._tier_margin,
+                    )
                 window[key] = bt
             else:  # user opted into per-line tiers
                 window[key] = assign_window_tiers(
@@ -184,7 +191,6 @@ class SpectralService:
                     # split-dense exactness: the region-I wing pass needs
                     # |x| > 15.5 beyond the frozen core for THIS request's
                     # doppler widths too
-                    _, _, doppler = q[key]
                     need = 15.5 * jnp.max(doppler) / plan.d_nu + 2.0
                     ok = ok & (need <= bt.core_half)
                 if hasattr(bt, "tiers") and hasattr(bt, "block"):

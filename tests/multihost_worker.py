@@ -54,17 +54,11 @@ def main():
         stage_plasma_and_lines,
     )
 
-    # identical inputs on every process (SPMD)
-    model_path = os.path.join(outdir, "sun.mod")
-    if proc_id == 0:
-        write_marcs_file(model_path)
-    # wait for the file (process 0 writes it)
-    import time
-
-    for _ in range(100):
-        if os.path.exists(model_path):
-            break
-        time.sleep(0.1)
+    # identical inputs on every process (SPMD): write_marcs_file is
+    # deterministic, so each process writes its OWN copy (no cross-process
+    # file race)
+    model_path = os.path.join(outdir, f"sun_{proc_id}.mod")
+    write_marcs_file(model_path)
     config = {
         "stardis_config_version": 1.0,
         "atom_data": "builtin:5",

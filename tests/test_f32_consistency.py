@@ -101,6 +101,35 @@ def test_blocked_tiered_f32_tracks_f64():
     _assert_f32_tracks_f64(out[jnp.float32], out[jnp.float64])
 
 
+def test_split_dense_f32_tracks_f64():
+    """The split dense path (region-I wings + panel cores, one-hot matmul
+    reduction) is a distinct physics path — CLAUDE.md requires its own
+    f32-vs-f64 consistency check."""
+    from stardis_tpu.opacities.line_kernel import split_core_half
+
+    # grid large enough for the split gate (n_nu >= 4 * panel)
+    nus, line_nu, alpha, gamma, doppler = _setup(n_nu=1600, n_depth=13)
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, len(nus), block=4)
+    blocked.core_half = split_core_half(doppler.max(), d_nu)
+    nus_c, line_nu_c = _center(nus, line_nu)
+    out = {}
+    for dtype in (jnp.float64, jnp.float32):
+        n, l, a, g, d = _cast((nus_c, line_nu_c, alpha, gamma, doppler), dtype)
+        out[dtype] = np.asarray(
+            accumulate_line_opacity_blocked(
+                n, l, jnp.asarray(centers), a, g, d, blocked=blocked,
+                d_nu=d_nu, chunk=16, center_idx_host=centers,
+            )
+        )
+    _assert_f32_tracks_f64(out[jnp.float32], out[jnp.float64])
+
+
 def test_accuracy_epsilon_f32_tracks_f64(synthetic_sun_path):
     import yaml
 
