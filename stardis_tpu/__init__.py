@@ -1,15 +1,20 @@
 """stardis_tpu — TPU-native LTE stellar spectral synthesis.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+A from-scratch JAX/XLA re-design of the capabilities of
 tardis-sn/stardis (reference mounted read-only at /root/reference):
 MARCS/MESA model ingest, LTE plasma solve, continuum + Voigt line
 opacities, and the van Noort 2001 formal solution, engineered for
 TPU hardware (dense padded arrays, log-space Saha, associative-scan
-depth sweeps, windowed line-profile accumulation).
+depth sweeps, tiered split-dense line-profile accumulation).
+
+Entry points: ``run_stardis`` (one-shot synthesis),
+``serving.SpectralService`` (compiled-plan serving),
+``parallel.batch.run_batch`` (atmosphere grids),
+``parallel.sharding.shard_spectrum`` (wavelength-sharded meshes).
 """
 
 from stardis_tpu.base import STARDISOutput, parse_config_to_model, run_stardis
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["run_stardis", "STARDISOutput", "parse_config_to_model"]
