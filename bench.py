@@ -187,7 +187,15 @@ def main():
     f_nu = stage2(state, lq)
     jax.block_until_ready(f_nu)
 
-    # steady-state timing of the full pipeline (both stages re-run)
+    # steady-state timing of the full pipeline (both stages re-run);
+    # BENCH_PROFILE=<dir> additionally captures a jax.profiler trace of
+    # one iteration (open with tensorboard/xprof)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            state, lq = stage1(temps, n_elem)
+            f_nu = stage2(state, lq)
+            jax.block_until_ready(f_nu)
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
