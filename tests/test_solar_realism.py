@@ -143,3 +143,52 @@ def test_hminus_opacity_weakens_lines(solar_config):
     ew_with = equivalent_width(lam, np.asarray(f_with)[-1], 5889.95)
     ew_without = equivalent_width(lam, np.asarray(f_without)[-1], 5889.95)
     assert ew_without > ew_with
+
+
+def test_hot_star_diagnostics(tmp_path):
+    """A-star classics from the builtin list at Teff 9500 (gray LTE):
+    Mg II 4481 is the strongest metal line, Si II 6347 clearly present,
+    He I 5876 marginal (it strengthens only above ~10,500 K)."""
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    mp = tmp_path / "hot.mod"
+    write_marcs_file(mp, teff=9500.0)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:30",
+        "input_model": {
+            "type": "marcs", "fname": str(mp), "final_atomic_number": 30,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "line": {
+                "disable": False,
+                "broadening": [
+                    "radiation", "quadratic_stark", "van_der_waals",
+                ],
+                "vald_linelist": {
+                    "use_linelist": True, "use_vald_broadening": True,
+                },
+            },
+        },
+        "no_of_thetas": 10,
+        "result_options": {},
+    }
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    parsed, adata, model = parse_config_to_model(str(cfg))
+
+    def depth(lo, hi, lam0):
+        lam = np.arange(lo, hi, 0.02)
+        nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
+        plan = build_simulation_plan(parsed, adata, model, nus)
+        f_nu, *_ = run_simulation(plan)
+        flux = np.asarray(f_nu)[-1]
+        cont = np.percentile(flux, 95.0)
+        return 1.0 - flux[np.abs(lam - lam0) < 0.5].min() / cont
+
+    assert depth(4475.0, 4487.0, 4481.13) > 0.2  # Mg II 4481
+    assert depth(6341.0, 6353.0, 6347.11) > 0.1  # Si II 6347
+    he = depth(5870.0, 5882.0, 5875.62)
+    assert 0.0 < he < 0.1  # He I D3: present but weak at 9500 K
