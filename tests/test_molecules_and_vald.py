@@ -111,7 +111,10 @@ def test_vald_path_matches_tardis_path(mol_setup):
     same alpha as the TARDIS-path calculation (the physics is identical:
     gf/U cancellation)."""
     ad, tables, temps, state = mol_setup
-    nu_min, nu_max = 4.4e14, 4.8e14
+    # window holding H-alpha only: the builtin VALD list also carries
+    # transcribed He/metal lines (e.g. He I 6678 at 4.49e14 Hz) that have
+    # no counterpart in the TARDIS-path `lines` table
+    nu_min, nu_max = 4.52e14, 4.62e14
 
     ld_tardis = prepare_line_data(ad, tables, nu_min, nu_max, use_vald=False)
     ld_vald = prepare_line_data(ad, tables, nu_min, nu_max, use_vald=True)
