@@ -37,6 +37,10 @@ class BatchInputs:
     temperatures: np.ndarray  # [B, D]
     n_elem: np.ndarray  # [B, E, D]
     ray_distances: np.ndarray  # [B, G, T]
+    # per-model spherical flux correction (r_outer/r_ref)^2, or None for
+    # plane-parallel batches (reference applies it per model at
+    # radiation_field_solvers/base.py:340-344)
+    photospheric_correction: np.ndarray | None = None  # [B]
 
 
 def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
@@ -56,10 +60,16 @@ def collect_batch_inputs(config, stellar_models, plan,
     thetas, _ = gauss_legendre_thetas(int(config.no_of_thetas))
     n_depth = len(plan.temperatures)
 
-    temps, n_elem, rays = [], [], []
-    for model in stellar_models:
+    temps, n_elem, rays, corrs = [], [], [], []
+    for i, model in enumerate(stellar_models):
         if model.no_of_depth_points != n_depth:
             raise ValueError("all models in a batch need equal depth points")
+        if bool(model.spherical) != bool(plan.inward_rays):
+            raise ValueError(
+                f"batch model {i} geometry (spherical="
+                f"{bool(model.spherical)}) does not match the template "
+                f"plan (spherical={bool(plan.inward_rays)})"
+            )
         temps.append(np.asarray(model.temperatures, dtype=dtype))
         # align element rows to the plan tables' sorted-Z order
         n_elem.append(
@@ -69,6 +79,8 @@ def collect_batch_inputs(config, stellar_models, plan,
         r = np.asarray(model.geometry.r, dtype=dtype)
         if model.spherical:
             rays.append(calculate_spherical_ray(thetas, r).astype(dtype))
+            ref_r = float(np.asarray(model.geometry.reference_r))
+            corrs.append((r[-1] / ref_r) ** 2)
         else:
             rays.append(
                 (np.diff(r)[:, None] / np.cos(thetas)[None, :]).astype(dtype)
@@ -77,22 +89,30 @@ def collect_batch_inputs(config, stellar_models, plan,
         temperatures=np.stack(temps),
         n_elem=np.stack(n_elem),
         ray_distances=np.stack(rays),
+        photospheric_correction=(
+            np.asarray(corrs, dtype=dtype) if corrs else None
+        ),
     )
 
 
 # jit re-traces when the Python callable is new, so building closures per
 # call would recompile every run_batch invocation; cache compiled stages by
 # plan identity (+ tier content for stage 2), evicting oldest entries so
-# one-shot plans don't pin executables forever
+# one-shot plans don't pin executables forever.
+# id(plan) is a safe key because each cached jitted closure holds a strong
+# reference to its plan, so a live cache entry keeps its plan's id from
+# being reused; eviction drops the closure and the plan together.
 _STAGE1_CACHE = {}
 _STAGE2_CACHE = {}
 _CACHE_LIMIT = 32
+_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _cache_put(cache, key, value):
-    if len(cache) >= _CACHE_LIMIT:
-        cache.pop(next(iter(cache)))
-    cache[key] = value
+    with _CACHE_LOCK:
+        if len(cache) >= _CACHE_LIMIT:
+            cache.pop(next(iter(cache)))
+        cache[key] = value
     return value
 
 
@@ -128,12 +148,18 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     temps = jnp.asarray(batch.temperatures)
     n_elem = jnp.asarray(batch.n_elem)
     rays = jnp.asarray(batch.ray_distances)
+    spherical = batch.photospheric_correction is not None
+    corr = (
+        jnp.asarray(batch.photospheric_correction) if spherical else None
+    )
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P("batch"))
         temps = jax.device_put(temps, sharding)
         n_elem = jax.device_put(n_elem, sharding)
         rays = jax.device_put(rays, sharding)
+        if spherical:
+            corr = jax.device_put(corr, sharding)
 
     key1 = id(plan)
     stage1 = _STAGE1_CACHE.get(key1)
@@ -198,17 +224,31 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     key2 = (
         id(plan),
         chunk,
+        spherical,
         _window_fingerprint(window) if isinstance(window, dict) else window,
     )
     stage2 = _STAGE2_CACHE.get(key2)
     if stage2 is None:
+        if spherical:
 
-        def one(s, q, rd):
-            f_nu, *_ = stage_spectrum(plan, s, q, window=window, chunk=chunk,
-                                      ray_distances=rd)
-            return f_nu
+            def one(s, q, rd, pc):
+                f_nu, *_ = stage_spectrum(
+                    plan, s, q, window=window, chunk=chunk,
+                    ray_distances=rd, photospheric_correction=pc,
+                )
+                return f_nu
+
+        else:
+
+            def one(s, q, rd):
+                f_nu, *_ = stage_spectrum(
+                    plan, s, q, window=window, chunk=chunk, ray_distances=rd
+                )
+                return f_nu
 
         stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(jax.vmap(one)))
+    if spherical:
+        return stage2(state, lq, rays, corr)
     return stage2(state, lq, rays)
 
 

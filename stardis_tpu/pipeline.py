@@ -442,15 +442,22 @@ def compute_continuum(plan: SimulationPlan, state, tracing_nus, nu_offset=None):
     return out
 
 
+_PLAN_CORRECTION = "plan"
+
+
 def stage_spectrum(
     plan: SimulationPlan, state, line_quants, window, chunk: int = 1024,
-    ray_distances=None,
+    ray_distances=None, photospheric_correction=_PLAN_CORRECTION,
 ):
     """Jittable (static: window, chunk): opacities + formal solution.
 
     window: int, or dict of per-line-set tier lists from line_window_tiers.
     ray_distances: optional [G, T] override (used by the batched runner,
-    where each atmosphere has its own geometry)."""
+    where each atmosphere has its own geometry).
+    photospheric_correction: the sentinel "plan" applies the plan's static
+    (r/r_ref)^2; the batched runner passes each model's own correction as a
+    traced scalar instead (reference applies it per model at
+    radiation_field_solvers/base.py:340-344)."""
     tracing_nus = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
     opacities = compute_continuum(plan, state, tracing_nus)
 
@@ -523,6 +530,11 @@ def stage_spectrum(
 
     if ray_distances is None:
         ray_distances = jnp.asarray(plan.ray_distances, dtype=total.dtype)
+    if (
+        isinstance(photospheric_correction, str)
+        and photospheric_correction == _PLAN_CORRECTION
+    ):
+        photospheric_correction = plan.photospheric_correction
     source = blackbody_flux_at_nu(tracing_nus, state.t)
     f_nu, i_nus = raytrace(
         total,
@@ -530,7 +542,7 @@ def stage_spectrum(
         ray_distances,
         jnp.asarray(plan.weights, dtype=total.dtype),
         inward_rays=plan.inward_rays,
-        photospheric_correction=plan.photospheric_correction,
+        photospheric_correction=photospheric_correction,
         track_individual_intensities=plan.track_individual_intensities,
     )
     return f_nu, total, opacities, i_nus

@@ -98,7 +98,6 @@ class SpectralService:
             self.config, self.atom_data, stellar_model, self._nus,
             dtype=self._dtype,
         )
-        self._plan_temps = np.asarray(stellar_model.temperatures, float)
         plan = self._plan
         self._stage1 = jax.jit(
             lambda t, n: stage_plasma_and_lines(plan, t, n)
@@ -225,22 +224,12 @@ class SpectralService:
         self.stats.compiles += 1
 
     # ------------------------------------------------------------------
-    def synthesize(self, stellar_model):
-        """Emergent spectrum for one atmosphere; returns a dict with
-        nus / lambdas / spectrum_nu / spectrum_lambda / F_nu."""
-        import jax.numpy as jnp
-
-        from stardis_tpu.pipeline import validate_line_quants
-        from stardis_tpu.radiation_field.solver import (
-            calculate_spherical_ray,
-            gauss_legendre_thetas,
-        )
-
-        self.stats.requests += 1
-        if self._plan is None:
-            self._build(stellar_model)
-
-        plan = self._plan
+    def _check_request(self, stellar_model, plan, label="this request"):
+        """Request-compatibility guards shared by synthesize and
+        synthesize_batch: baked-per-plan quantities (microturbulence,
+        geometry kind, file-opacity interpolation temperatures, depth
+        count) must match, or the request is rejected rather than silently
+        served with stale baked values."""
         temps_np = np.asarray(stellar_model.temperatures, float)
         if len(temps_np) != len(plan.temperatures):
             raise ValueError(
@@ -248,7 +237,7 @@ class SpectralService:
             )
         if bool(stellar_model.spherical) != bool(plan.inward_rays):
             raise ValueError(
-                "this request's geometry (spherical="
+                f"{label} geometry (spherical="
                 f"{bool(stellar_model.spherical)}) does not match the plan "
                 f"(spherical={bool(plan.inward_rays)}); rebuild the service"
             )
@@ -267,14 +256,34 @@ class SpectralService:
                 "the service"
             )
         if plan.file_sources and not np.allclose(
-            temps_np, self._plan_temps, rtol=self._file_opacity_rtol
+            temps_np, np.asarray(plan.temperatures, float),
+            rtol=self._file_opacity_rtol,
         ):
             raise ValueError(
                 "tabulated file opacities were interpolated at the plan "
-                "model's temperatures; this request's temperatures differ "
+                f"model's temperatures; {label}'s temperatures differ "
                 f"beyond rtol={self._file_opacity_rtol}. Rebuild the "
                 "service (or use the *_john analytic sources)."
             )
+        return temps_np
+
+    def synthesize(self, stellar_model):
+        """Emergent spectrum for one atmosphere; returns a dict with
+        nus / lambdas / spectrum_nu / spectrum_lambda / F_nu."""
+        import jax.numpy as jnp
+
+        from stardis_tpu.pipeline import validate_line_quants
+        from stardis_tpu.radiation_field.solver import (
+            calculate_spherical_ray,
+            gauss_legendre_thetas,
+        )
+
+        self.stats.requests += 1
+        if self._plan is None:
+            self._build(stellar_model)
+
+        plan = self._plan
+        temps_np = self._check_request(stellar_model, plan)
 
         temps = jnp.asarray(temps_np, dtype=self._dtype)
         n_elem_frame = stellar_model.composition.elemental_number_density
@@ -326,7 +335,13 @@ class SpectralService:
         """Serve a homogeneous list of models through the vmapped batch
         path.  The batch template plan is built once per service, so
         run_batch's compiled-stage cache (keyed by plan identity + tier
-        content) hits on repeated batches of the same shape."""
+        content) hits on repeated batches of the same shape.
+
+        Every model is held to the same request-compatibility guards as
+        ``synthesize`` (microturbulence, geometry kind, file-opacity
+        interpolation temperatures are baked into the cached batch plan);
+        the per-model spherical flux correction is threaded through
+        ``run_batch`` itself."""
         from stardis_tpu.parallel.batch import (
             collect_batch_inputs,
             make_batch,
@@ -345,6 +360,8 @@ class SpectralService:
                 self.config, stellar_models, self._batch_plan,
                 dtype=self._dtype,
             )
+        for i, model in enumerate(stellar_models):
+            self._check_request(model, self._batch_plan, label=f"batch model {i}")
         self.stats.requests += len(stellar_models)
         return np.asarray(
             run_batch(self._batch_plan, batch, chunk=self._chunk)

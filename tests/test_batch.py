@@ -90,3 +90,75 @@ def test_batch_sharded_over_devices(teff_grid_setup):
         np.asarray(f_sharded), np.asarray(f_plain), rtol=1e-10
     )
     assert len(f_sharded.sharding.device_set) == 4
+
+
+@pytest.fixture(scope="module")
+def spherical_grid_setup(tmp_path_factory):
+    """Spherical giants with DIFFERENT radii: each model must get its own
+    (r_outer/r_ref)^2 flux correction (reference
+    radiation_field_solvers/base.py:340-344), not the template's."""
+    base = tmp_path_factory.mktemp("spherical_grid")
+    params = [(4500.0, 1.5e12), (4800.0, 2.0e12), (5200.0, 3.5e12)]
+    model_paths = []
+    for teff, radius in params:
+        p = base / f"t{int(teff)}.mod"
+        write_marcs_file(p, teff=teff, logg=2.0, spherical=True,
+                         radius_cm=radius)
+        model_paths.append(p)
+    config_dict = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_paths[0]),
+            "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "line": {"disable": False, "broadening": ["radiation"]},
+        },
+        "no_of_thetas": 3,
+        "result_options": {},
+    }
+    cfg = base / "c.yml"
+    cfg.write_text(yaml.safe_dump(config_dict))
+    config, adata, model0 = parse_config_to_model(cfg)
+    models = [model0]
+    for p in model_paths[1:]:
+        models.append(
+            read_marcs_model(p).to_stellar_model(adata, final_atomic_number=5)
+        )
+    lams = np.arange(6555.0, 6575.0, 0.1)
+    nus = np.asarray(u.Quantity(lams, u.AA).to(u.Hz, u.spectral()))
+    return config, adata, models, nus
+
+
+def test_spherical_batch_matches_individual_runs(spherical_grid_setup):
+    config, adata, models, nus = spherical_grid_setup
+    plan, batch = make_batch(config, adata, models, nus)
+    assert batch.photospheric_correction is not None
+    assert batch.photospheric_correction.shape == (3,)
+    # radii differ -> corrections differ (the round-2 bug applied the
+    # template's correction to every member)
+    assert len(np.unique(batch.photospheric_correction)) == 3
+    f_batch = np.asarray(run_batch(plan, batch))
+
+    for i, model in enumerate(models):
+        plan_i = build_simulation_plan(config, adata, model, nus)
+        f_i, *_ = run_simulation(plan_i)
+        np.testing.assert_allclose(
+            f_batch[i, -1], np.asarray(f_i)[-1], rtol=1e-6,
+            err_msg=f"spherical model {i}",
+        )
+
+
+def test_batch_rejects_mixed_geometry(spherical_grid_setup, tmp_path):
+    config, adata, models, nus = spherical_grid_setup
+    pp_path = tmp_path / "pp.mod"
+    write_marcs_file(pp_path, teff=5777.0)
+    pp_model = read_marcs_model(pp_path).to_stellar_model(
+        adata, final_atomic_number=5
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        make_batch(config, adata, [models[0], pp_model], nus)
