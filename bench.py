@@ -204,6 +204,42 @@ def main():
     jax.block_until_ready(f_nu)
     wall = (time.perf_counter() - t0) / n_iter
 
+    # shard-scaling meter (host-side, analytic): per-shard Voigt-eval
+    # budgets under the bucketed wavelength sharding for an 8-device mesh —
+    # the only scaling-efficiency evidence a single-chip environment can
+    # produce (sharded==unsharded numerics are pinned by tests/test_sharding)
+    shard_line = ""
+    if isinstance(window, dict) and window:
+        from stardis_tpu.opacities.line_kernel import line_center_indices
+        from stardis_tpu.parallel.sharding import (
+            _pad_to_multiple,
+            shard_eval_stats,
+        )
+
+        ndev = 8
+        nus_padded, _pad = _pad_to_multiple(plan.tracing_nus, ndev)
+        centers = {}
+        if "atomic" in window:
+            centers["atomic"] = line_center_indices(
+                nus_padded, plan.line_data.nu
+            )
+        if "molecular" in window:
+            centers["molecular"] = line_center_indices(
+                nus_padded, plan.molecule_line_data.nu
+            )
+        st = shard_eval_stats(
+            window, centers, len(plan.temperatures), len(nus_padded), ndev
+        )
+        shard_line = (
+            "; 8-shard bucketed eval efficiency %.0f%% "
+            "(max/shard %.2e vs unsharded %.2e evals)"
+            % (
+                100.0 * st["efficiency"],
+                max(st["per_shard_evals"]),
+                st["unsharded_evals"],
+            )
+        )
+
     cells_per_s = n_cells / wall
     lines_per_s = n_lines / wall
     flops = flop_count / wall
@@ -214,7 +250,7 @@ def main():
         "value": round(cells_per_s, 1),
         "unit": "(lambda*depth) cells/s; wall %.3fs; %d lines (%.0f lines/s); "
         "%.2e voigt evals -> %.2e FLOP/s est = %.1f%% of v5e VPU f32 peak; "
-        "tiers %s; %s; vs_baseline is a LOWER BOUND (asv 1800s-cap floor)"
+        "tiers %s; %s%s; vs_baseline is a LOWER BOUND (asv 1800s-cap floor)"
         % (
             wall,
             n_lines,
@@ -224,6 +260,7 @@ def main():
             100.0 * mfu,
             tier_info,
             jax.devices()[0].device_kind,
+            shard_line,
         ),
         "vs_baseline": round(cells_per_s / baseline_floor, 1),
     }

@@ -159,8 +159,10 @@ class AtomData:
                     continue
                 grp = f.create_group(name)
                 for col in ll.columns:
-                    data = ll[col].values
-                    if data.dtype == object:
+                    # np.asarray also flattens pandas extension arrays
+                    # (StringDtype) to object, which the kind check catches
+                    data = np.asarray(ll[col].values)
+                    if data.dtype.kind in ("O", "U"):
                         data = np.array(data, dtype="S16")
                     grp.create_dataset(col, data=data)
 
@@ -185,8 +187,8 @@ class AtomData:
                     "molecule", data=np.array(de.index.values, dtype="S16")
                 )
                 for col in de.columns:
-                    data = de[col].values
-                    if data.dtype == object:
+                    data = np.asarray(de[col].values)
+                    if data.dtype.kind in ("O", "U"):
                         data = np.array(data, dtype="S16")
                     sub.create_dataset(col, data=data)
 

@@ -197,27 +197,36 @@ def _level_g(levels, lines, level_col):
 
 
 def load_carsus_store(path) -> dict:
-    """Read a carsus pytables store into the logical-frame dict.
+    """Read a carsus store into the logical-frame dict.
 
-    Requires the ``tables`` package (unavailable in minimal runtimes — run
-    this where carsus itself runs)."""
+    Prefers the pytables reader (handles every pandas HDFStore format);
+    when the ``tables`` package is missing, falls back to the h5py
+    fixed-format reader (atom_data/synthetic_carsus.py), which decodes the
+    pandas ``format="fixed"`` layout carsus stores use — 'table'-format
+    groups still require pytables and raise a clear error."""
     try:
         import tables  # noqa: F401
-    except ImportError as err:
-        raise ImportError(
-            "reading carsus files requires the 'tables' (pytables) package; "
-            "run this converter in an environment with carsus installed, "
-            "then ship the converted native file"
-        ) from err
 
+        have_pytables = True
+    except ImportError:
+        have_pytables = False
+
+    if have_pytables:
+        raw = {}
+        with pd.HDFStore(path, "r") as store:
+            raw = {k.lstrip("/"): store[k] for k in store.keys()}
+    else:
+        from stardis_tpu.atom_data.synthetic_carsus import read_fixed_store
+
+        raw = read_fixed_store(path)
+
+    keys = set(raw)
     frames = {}
-    with pd.HDFStore(path, "r") as store:
-        keys = {k.lstrip("/") for k in store.keys()}
-        for logical, aliases in KEY_ALIASES.items():
-            for alias in aliases:
-                if alias in keys:
-                    frames[logical] = store[alias]
-                    break
+    for logical, aliases in KEY_ALIASES.items():
+        for alias in aliases:
+            if alias in keys:
+                frames[logical] = raw[alias]
+                break
     missing = [k for k in ("atom_data", "ionization_data", "levels")
                if k not in frames]
     if missing:

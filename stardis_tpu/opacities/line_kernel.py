@@ -98,6 +98,12 @@ TIER_WINDOWS = (128, 512, 2048, 8192)
 # 100k-line Sim100AA workload; the 128-pixel bulk tier stays scatter).
 DENSE_WINDOW_FRACTION = 64
 
+# Scatter tiers at least this wide are split+panelized instead (wide grids
+# only — on narrower grids they are dense-promoted first): full-Voigt cores
+# in small panels + region-I far wings in window-wide panels, both via
+# dynamic 3-panel slice updates, removing the scatter entirely.
+PANELIZE_MIN_WINDOW = 1024
+
 
 def is_dense_tier(window, n_nu):
     return DENSE_WINDOW_FRACTION * window >= n_nu
@@ -461,6 +467,163 @@ def accumulate_line_opacity_tiered(
     return out
 
 
+def _accumulate_panelized(
+    tracing_nus_desc,  # [N]
+    line_nu,  # [L] (centered frame)
+    center_idx,  # [L] device
+    center_idx_host,  # [L] host numpy (panel grouping)
+    alpha_b,  # [L, NB, B] blocked
+    gamma_b,
+    doppler_b,
+    line_idx,  # [P] host pair line indices
+    block_idx,  # [P] host pair block indices
+    blk: int,
+    n_blocks: int,
+    panel: int,  # static panel width (128-multiple); updates span 3 panels
+    phi_fn,  # voigt_profile (cores) or voigt_profile_region1 (far wings)
+    off_mask_fn,  # extra pixel mask by signed offset (core/wing selector)
+    d_nu: float,
+    chunk,
+    memory_budget_bytes: int,
+    window_mode: str,
+    eps_b,  # scalar or [NB, B] per-depth epsilon
+    per_depth_eps: bool,
+    acc,  # [n_nu * NB, B] carried accumulator
+):
+    """Panel-grouped accumulation: pairs are bucketed by the panel
+    containing their center (host side), each bucket padded to chunk
+    multiples; a single scan places each chunk's [3*panel, NB, B] update at
+    its panel offset with a dynamic read-modify-write (sequential in the
+    scan -> deterministic).  One scan keeps the HLO small — a Python loop
+    of per-panel scans OOM-killed the XLA compile helper.
+
+    This replaces a scatter (per-row dynamic indexing, measured ~10x the
+    cost of a dense masked eval on v5e) with dense 3-panel slices whenever
+    every touched pixel of a pair provably lies within +-panel of its
+    center panel — callers must guarantee touched-halfwidth <= panel.
+    Used for (a) the full-Voigt cores of the split dense path and (b) both
+    passes of the split wide-window scatter tiers.
+    """
+    n_nu = tracing_nus_desc.shape[0]
+    dtype = alpha_b.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    n_pairs = len(line_idx)
+    nb_range = jnp.arange(n_blocks)
+
+    def gather(li, bi):
+        li_d, bi_d = jnp.asarray(li), jnp.asarray(bi)
+        if per_depth_eps:
+            p_eps = eps_b[bi_d]
+        else:
+            p_eps = jnp.full((len(li), blk), eps_b, dtype=dtype)
+        return (
+            line_nu[li_d],
+            center_idx[li_d],
+            alpha_b[li_d, bi_d],
+            gamma_b[li_d, bi_d],
+            doppler_b[li_d, bi_d],
+            (bi_d[:, None] == nb_range[None, :]).astype(dtype),  # onehot
+            p_eps,
+        )
+
+    def win_of(c_alpha, c_gamma, c_doppler, c_eps):
+        if window_mode == "accuracy":
+            return window_pixels_accuracy(
+                c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
+            )
+        return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
+
+    n_panels = -(-n_nu // panel)
+    centers_pair = np.asarray(center_idx_host)[line_idx]
+    panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
+
+    c = chunk
+    if c is None:
+        c = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
+        c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
+        c = -(-c // 8) * 8
+    c = int(min(c, max(8, n_pairs)))
+
+    li_chunks, off_chunks = [], []
+    for g in range(n_panels):
+        sel = np.nonzero(panel_of == g)[0]
+        if len(sel) == 0:
+            continue
+        pad_g = (-len(sel)) % c
+        li_g = np.concatenate([line_idx[sel], np.zeros(pad_g, np.int64)])
+        bi_g = np.concatenate([block_idx[sel], np.zeros(pad_g, np.int64)])
+        live_g = np.arange(len(sel) + pad_g) < len(sel)
+        li_chunks.append((li_g, bi_g, live_g, g))
+        off_chunks.extend([g * panel] * ((len(sel) + pad_g) // c))
+    if not li_chunks:
+        return acc
+
+    li_all = np.concatenate([x[0] for x in li_chunks])
+    bi_all = np.concatenate([x[1] for x in li_chunks])
+    live_all = np.concatenate([x[2] for x in li_chunks])
+    n_chunks = len(off_chunks)
+
+    pad_len = panel * (n_panels + 2)
+    tr_pad = jnp.concatenate(
+        [
+            jnp.full((panel,), tracing_nus_desc[0], dtype),
+            tracing_nus_desc,
+            jnp.full((pad_len - panel - n_nu,), tracing_nus_desc[-1], dtype),
+        ]
+    )
+    p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps = gather(li_all, bi_all)
+    live_dev = jnp.asarray(live_all)
+    p_a = jnp.where(live_dev[:, None], p_a, 0.0)
+    p_cen = jnp.where(live_dev, p_cen, -(10 * (n_nu + pad_len)))
+    offs = jnp.asarray(off_chunks, dtype=jnp.int32)  # padded col of slice
+    w3 = 3 * panel
+    rel = jnp.arange(w3)
+
+    def body(acc_pad, data):
+        off0, c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
+        tr_slice = jax.lax.dynamic_slice(tr_pad, (off0,), (w3,))
+        # padded col -> global pixel: global = padded - panel
+        pix = (off0 - panel + rel).astype(dtype)  # [W3]
+        in_grid = (pix >= 0) & (pix < n_nu)
+        off = pix[None, :] - c_cen[:, None].astype(dtype)  # [C, W3]
+        dnu = tr_slice[None, :] - c_nu[:, None]
+        win = win_of(c_a, c_g, c_d, c_eps)
+        iw = jnp.floor(win)
+        within = (off[:, None, :] >= -iw[:, :, None]) & (
+            off[:, None, :] < iw[:, :, None]
+        )
+        mask = (
+            within
+            & off_mask_fn(off)[:, None, :]
+            & in_grid[None, None, :]
+        )
+        phi = phi_fn(dnu[:, None, :], c_d[:, :, None], c_g[:, :, None])
+        contrib = jnp.where(mask, phi * c_a[:, :, None], 0.0)
+        upd = jax.lax.dot_general(
+            contrib, c_oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        ).transpose(1, 2, 0)  # [W3, NB, B]
+        zero = jnp.zeros((), dtype=off0.dtype)
+        cur = jax.lax.dynamic_slice(
+            acc_pad, (off0, zero, zero), (w3, n_blocks, blk)
+        )
+        return (
+            jax.lax.dynamic_update_slice(acc_pad, cur + upd, (off0, zero, zero)),
+            None,
+        )
+
+    acc_pad0 = jnp.zeros((pad_len, n_blocks, blk), dtype=dtype) + (
+        tr_pad[:, None, None] * 0.0
+    ).astype(dtype)
+    chunks = (offs,) + tuple(
+        x.reshape((n_chunks, c) + x.shape[1:])
+        for x in (p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps)
+    )
+    panel_acc, _ = jax.lax.scan(body, acc_pad0, chunks)
+    return acc + panel_acc[panel : panel + n_nu].reshape(n_nu * n_blocks, blk)
+
+
 def _accumulate_dense_split(
     tracing_nus_desc,  # [N]
     line_nu,  # [L] (centered frame)
@@ -587,104 +750,20 @@ def _accumulate_dense_split(
     )  # [N, NB, B]
     acc = acc + wing.reshape(n_nu * n_blocks, blk)
 
-    # ---- core pass: panel-grouped full Voigt, ONE scan -----------------
-    # pairs are bucketed by the panel containing their center (host side),
-    # each bucket padded to chunk multiples; the single scan carries a
-    # padded accumulator and places each chunk's [3P, NB, B] update at its
-    # chunk's panel offset with a dynamic read-modify-write (sequential in
-    # the scan -> deterministic).  One scan keeps the HLO small — a
-    # Python loop of per-panel scans OOM-killed the XLA compile helper.
-    panel = split_panel(core_half)
-    n_panels = -(-n_nu // panel)
-    centers_pair = np.asarray(center_idx_host)[line_idx]
-    panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
-
-    c_core = chunk
-    if c_core is None:
-        c_core = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
-        c_core = max(32, (c_core // 8) * 8, -(-n_pairs // 4096))
-        c_core = -(-c_core // 8) * 8
-    c_core = int(min(c_core, max(8, n_pairs)))
-
-    li_chunks, bi_chunks, off_chunks = [], [], []
-    for g in range(n_panels):
-        sel = np.nonzero(panel_of == g)[0]
-        if len(sel) == 0:
-            continue
-        pad_g = (-len(sel)) % c_core
-        li_g = np.concatenate([line_idx[sel], np.zeros(pad_g, np.int64)])
-        bi_g = np.concatenate([block_idx[sel], np.zeros(pad_g, np.int64)])
-        live_g = np.arange(len(sel) + pad_g) < len(sel)
-        li_chunks.append((li_g, bi_g, live_g, g))
-        off_chunks.extend([g * panel] * ((len(sel) + pad_g) // c_core))
-    if not li_chunks:
-        return acc
-
-    li_all = np.concatenate([x[0] for x in li_chunks])
-    bi_all = np.concatenate([x[1] for x in li_chunks])
-    live_all = np.concatenate([x[2] for x in li_chunks])
-    n_chunks = len(off_chunks)
-
-    pad_len = panel * (n_panels + 2)
-    tr_pad = jnp.concatenate(
-        [
-            jnp.full((panel,), tracing_nus_desc[0], dtype),
-            tracing_nus_desc,
-            jnp.full((pad_len - panel - n_nu,), tracing_nus_desc[-1], dtype),
-        ]
+    # ---- core pass: panel-grouped full Voigt (see _accumulate_panelized)
+    return _accumulate_panelized(
+        tracing_nus_desc, line_nu, center_idx, center_idx_host,
+        alpha_b, gamma_b, doppler_b,
+        line_idx, block_idx, blk, n_blocks,
+        panel=split_panel(core_half),
+        phi_fn=voigt_profile,
+        off_mask_fn=lambda off: jnp.abs(off) < core_half,
+        d_nu=d_nu, chunk=chunk,
+        memory_budget_bytes=memory_budget_bytes,
+        window_mode=window_mode,
+        eps_b=eps_b, per_depth_eps=per_depth_eps,
+        acc=acc,
     )
-    p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps = gather(li_all, bi_all)
-    live_dev = jnp.asarray(live_all)
-    p_a = jnp.where(live_dev[:, None], p_a, 0.0)
-    p_cen = jnp.where(live_dev, p_cen, -(10 * (n_nu + pad_len)))
-    offs = jnp.asarray(off_chunks, dtype=jnp.int32)  # padded col of slice
-    w3 = 3 * panel
-    rel = jnp.arange(w3)
-
-    def core_body(acc_pad, data):
-        off0, c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
-        tr_slice = jax.lax.dynamic_slice(tr_pad, (off0,), (w3,))
-        # padded col -> global pixel: global = padded - panel
-        pix = (off0 - panel + rel).astype(dtype)  # [W3]
-        in_grid = (pix >= 0) & (pix < n_nu)
-        off = pix[None, :] - c_cen[:, None].astype(dtype)  # [C, W3]
-        dnu = tr_slice[None, :] - c_nu[:, None]
-        win = win_of(c_a, c_g, c_d, c_eps)
-        iw = jnp.floor(win)
-        within = (off[:, None, :] >= -iw[:, :, None]) & (
-            off[:, None, :] < iw[:, :, None]
-        )
-        mask = (
-            within
-            & (jnp.abs(off) < core_half)[:, None, :]
-            & in_grid[None, None, :]
-        )
-        phi = voigt_profile(dnu[:, None, :], c_d[:, :, None], c_g[:, :, None])
-        contrib = jnp.where(mask, phi * c_a[:, :, None], 0.0)
-        upd = jax.lax.dot_general(
-            contrib, c_oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-        ).transpose(1, 2, 0)  # [W3, NB, B]
-        zero = jnp.zeros((), dtype=off0.dtype)
-        cur = jax.lax.dynamic_slice(
-            acc_pad, (off0, zero, zero), (w3, n_blocks, blk)
-        )
-        return (
-            jax.lax.dynamic_update_slice(acc_pad, cur + upd, (off0, zero, zero)),
-            None,
-        )
-
-    acc_pad0 = jnp.zeros((pad_len, n_blocks, blk), dtype=dtype) + (
-        tr_pad[:, None, None] * 0.0
-    ).astype(dtype)
-    chunks = (offs,) + tuple(
-        x.reshape((n_chunks, c_core) + x.shape[1:])
-        for x in (p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps)
-    )
-    core_acc, _ = jax.lax.scan(core_body, acc_pad0, chunks)
-    acc = acc + core_acc[panel : panel + n_nu].reshape(n_nu * n_blocks, blk)
-    return acc
 
 
 def accumulate_line_opacity_blocked(
@@ -803,6 +882,42 @@ def accumulate_line_opacity_blocked(
                     .reshape(n_nu * n_blocks, blk)
                 )
             continue
+        if (
+            w >= PANELIZE_MIN_WINDOW
+            and blocked.core_half
+            and center_idx_host is not None
+            and 4 * blocked.core_half <= w
+        ):
+            # split wide scatter tier (wide grids): same two exact passes
+            # as the split dense path, but panelized at the window scale —
+            # full-Voigt cores within +-core_half, region-I far wings out
+            # to the true window, no scatter rows
+            from stardis_tpu.opacities.voigt import voigt_profile_region1
+
+            ch = blocked.core_half
+            common = dict(
+                blk=blk, n_blocks=n_blocks, d_nu=d_nu, chunk=chunk,
+                memory_budget_bytes=memory_budget_bytes,
+                window_mode=window_mode,
+                eps_b=eps_b, per_depth_eps=per_depth_eps,
+            )
+            acc = _accumulate_panelized(
+                tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                panel=split_panel(ch),
+                phi_fn=voigt_profile,
+                off_mask_fn=lambda off, _ch=ch: jnp.abs(off) < _ch,
+                acc=acc, **common,
+            )
+            acc = _accumulate_panelized(
+                tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                panel=int(np.ceil((w // 2) / 128.0) * 128),
+                phi_fn=voigt_profile_region1,
+                off_mask_fn=lambda off, _ch=ch: jnp.abs(off) >= _ch,
+                acc=acc, **common,
+            )
+            continue
         c = chunk
         if c is None:
             c = memory_budget_bytes // (4 * blk * w * itemsize)
@@ -872,6 +987,197 @@ def accumulate_line_opacity_blocked(
             p_gamma.reshape(n_chunks, c, blk),
             p_doppler.reshape(n_chunks, c, blk),
             eps_pairs,
+        )
+        acc, _ = jax.lax.scan(chunk_body, acc, chunks)
+
+    out = acc.reshape(n_nu, d_pad)[:, :n_depth]
+    return out.T  # [D, N]
+
+
+def accumulate_pairs_blocked(
+    tracing_nus_desc,  # [N] local grid (descending, centered frame)
+    line_nu,  # [L] device (centered frame)
+    center_idx,  # [L] device, LOCAL pixel coordinates (may be out of range)
+    alpha,  # [L, D]
+    gamma,  # [L, D]
+    doppler,  # [L, D]
+    pair_tiers,  # list of (li [P], bi [P], live [P], window int); li/bi/live
+    #              are DEVICE arrays (traced) — unlike the host-index tiers
+    #              of accumulate_line_opacity_blocked — so per-shard pair
+    #              subsets can differ under shard_map while every shard runs
+    #              the same program
+    blk: int,
+    n_blocks: int,
+    d_nu: float,
+    chunk: int | None = None,
+    memory_budget_bytes: int = 1 << 29,
+    window_mode: str = "reference",
+    window_epsilon=1e-12,  # scalar or per-depth [1, D] array
+):
+    """Depth-blocked tiered accumulation over TRACED (line, depth-block)
+    pair lists -> [D, N].
+
+    The shard-aware bucketed sharding path (parallel/sharding.py) assigns
+    each shard only the pairs whose tier window overlaps its local pixel
+    range; the pair subsets differ per shard, so the index arrays must be
+    runtime data, not compile-time constants.  Physics and windowing match
+    accumulate_line_opacity_blocked exactly:
+
+    * narrow tiers scatter-add window-masked Voigt rows into the flat
+      [N * n_blocks, blk] accumulator (``mode="drop"`` keeps the partition
+      exact across shards);
+    * grid-covering (locally dense) tiers evaluate every local pixel and
+      route each pair to its depth block by a one-hot matmul (the dense
+      promotion of accumulate_line_opacity_blocked groups pairs per block
+      with host indices, which a traced ``bi`` cannot do);
+    * dead (padding) pairs carry live=False: their alpha is zeroed and the
+      center is moved off-grid, so they contribute exactly 0.
+    """
+    n_nu = tracing_nus_desc.shape[0]
+    n_lines, n_depth = alpha.shape
+    dtype = alpha.dtype
+    d_pad = blk * n_blocks
+
+    def to_blocks(x, fill):
+        if d_pad != n_depth:
+            x = jnp.concatenate(
+                [x, jnp.full((n_lines, d_pad - n_depth), fill, dtype=x.dtype)],
+                axis=1,
+            )
+        return x.reshape(n_lines, n_blocks, blk)
+
+    alpha_b = to_blocks(alpha, 0.0)
+    gamma_b = to_blocks(gamma, 1.0)
+    doppler_b = to_blocks(doppler, 1.0)
+
+    eps_b = window_epsilon
+    per_depth_eps = hasattr(window_epsilon, "shape") and np.prod(
+        window_epsilon.shape
+    ) > 1
+    if per_depth_eps:
+        eps_flat = jnp.reshape(window_epsilon, (-1,))
+        if d_pad != n_depth:
+            eps_flat = jnp.concatenate(
+                [eps_flat, jnp.full((d_pad - n_depth,), jnp.inf, eps_flat.dtype)]
+            )
+        eps_b = eps_flat.reshape(n_blocks, blk)  # [NB, B]
+
+    itemsize = jnp.dtype(dtype).itemsize
+    nb_range = jnp.arange(n_blocks)
+    cols = jnp.arange(n_nu)
+
+    acc = jnp.zeros((n_nu, n_blocks, blk), dtype=dtype) + (
+        tracing_nus_desc[:, None, None] * 0.0
+    ).astype(dtype)
+    acc = acc.reshape(n_nu * n_blocks, blk)
+
+    for li, bi, live, w in pair_tiers:
+        n_pairs = int(li.shape[0])
+        if n_pairs == 0:
+            continue
+        dense = is_dense_tier(w, n_nu)
+        width = n_nu if dense else w
+        c = chunk
+        if c is None:
+            c = memory_budget_bytes // (4 * blk * width * itemsize)
+            # sublane-aligned; <=4096 scan iterations (see _accumulate_dense)
+            c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
+            c = -(-c // 8) * 8
+        c = int(min(c, max(8, n_pairs)))
+        pad = (-n_pairs) % c
+        if pad:
+            li = jnp.concatenate([li, jnp.zeros(pad, li.dtype)])
+            bi = jnp.concatenate([bi, jnp.zeros(pad, bi.dtype)])
+            live = jnp.concatenate([live, jnp.zeros(pad, bool)])
+
+        p_alpha = jnp.where(live[:, None], alpha_b[li, bi], 0.0)
+        p_gamma = gamma_b[li, bi]
+        p_doppler = doppler_b[li, bi]
+        p_nu = line_nu[li]
+        p_center = jnp.where(live, center_idx[li], -(10 * (n_nu + width)))
+        if per_depth_eps:
+            p_eps = eps_b[bi]  # [P, B]
+        else:
+            p_eps = jnp.full((n_pairs + pad, blk), eps_b, dtype=dtype)
+        n_chunks = (n_pairs + pad) // c
+
+        def win_of(c_alpha, c_gamma, c_doppler, c_eps):
+            if window_mode == "accuracy":
+                return window_pixels_accuracy(
+                    c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
+                )
+            return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
+
+        if dense:
+            p_oh = (bi[:, None] == nb_range[None, :]).astype(dtype)  # [P, NB]
+
+            def dense_body(carry, data):
+                c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
+                off = cols[None, :] - c_cen[:, None]  # [C, N] int offsets
+                dnu = tracing_nus_desc[None, :] - c_nu[:, None]
+                win = win_of(c_a, c_g, c_d, c_eps)  # [C, B]
+                iw = jnp.floor(win)
+                within = (off[:, None, :] >= -iw[:, :, None]) & (
+                    off[:, None, :] < iw[:, :, None]
+                )  # [C, B, N]
+                phi = voigt_profile(
+                    dnu[:, None, :], c_d[:, :, None], c_g[:, :, None]
+                )
+                contrib = jnp.where(within, phi * c_a[:, :, None], 0.0)
+                # route each pair to its depth block: one-hot matmul over
+                # the chunk axis (deterministic, MXU-friendly)
+                upd = jax.lax.dot_general(
+                    contrib, c_oh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )  # [B, N, NB]
+                return carry + upd, None
+
+            carry0 = jnp.zeros((blk, n_nu, n_blocks), dtype=dtype) + (
+                tracing_nus_desc[None, :, None] * 0.0
+            ).astype(dtype)
+            chunks = tuple(
+                x.reshape((n_chunks, c) + x.shape[1:])
+                for x in (p_nu, p_center, p_alpha, p_gamma, p_doppler,
+                          p_oh, p_eps)
+            )
+            out, _ = jax.lax.scan(dense_body, carry0, chunks)
+            acc = acc + out.transpose(1, 2, 0).reshape(n_nu * n_blocks, blk)
+            continue
+
+        offsets = jnp.arange(w) - w // 2  # [W]
+
+        def chunk_body(acc_in, data, _offsets=offsets):
+            c_nu, c_center, c_block, c_alpha, c_gamma, c_doppler, c_eps = data
+            idx_raw = c_center[:, None] + _offsets[None, :]  # [C, W]
+            in_grid = (idx_raw >= 0) & (idx_raw < n_nu)
+            idx = jnp.clip(idx_raw, 0, n_nu - 1)
+            dnu = tracing_nus_desc[idx] - c_nu[:, None]  # [C, W]
+
+            win = win_of(c_alpha, c_gamma, c_doppler, c_eps)  # [C, B]
+            iw = jnp.floor(win)
+            within = (_offsets[None, None, :] >= -iw[:, :, None]) & (
+                _offsets[None, None, :] < iw[:, :, None]
+            )  # [C, B, W]
+            mask = within & in_grid[:, None, :]
+
+            phi = voigt_profile(
+                dnu[:, None, :], c_doppler[:, :, None], c_gamma[:, :, None]
+            )  # [C, B, W]
+            contrib = jnp.where(mask, phi * c_alpha[:, :, None], 0.0)
+
+            updates = contrib.transpose(0, 2, 1).reshape(-1, blk)  # [C*W, B]
+            rows = (idx * n_blocks + c_block[:, None]).reshape(-1)
+            return acc_in.at[rows].add(updates, mode="drop"), None
+
+        chunks = (
+            p_nu.reshape(n_chunks, c),
+            p_center.reshape(n_chunks, c),
+            bi.reshape(n_chunks, c),
+            p_alpha.reshape(n_chunks, c, blk),
+            p_gamma.reshape(n_chunks, c, blk),
+            p_doppler.reshape(n_chunks, c, blk),
+            p_eps.reshape(n_chunks, c, blk),
         )
         acc, _ = jax.lax.scan(chunk_body, acc, chunks)
 

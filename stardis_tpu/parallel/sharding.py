@@ -6,12 +6,15 @@ over a device mesh (the analogue of sequence parallelism):
 
 * the frequency grid is partitioned contiguously across devices;
 * line tables and the plasma state are replicated (small: [L] and [S, D]);
-* each device evaluates continuum + line windows + the formal solution for
-  its own grid chunk.  A line whose profile window crosses a shard boundary
-  contributes to both shards, but every (line, pixel) pair lands on exactly
-  ONE shard — out-of-shard scatter rows are dropped — so the sharded sum is
-  an exact partition: no halo exchange and no collectives in the hot path,
-  giving embarrassingly-linear scaling over ICI/DCN.
+* (line, depth-block) pairs are BUCKETED per shard host-side
+  (bucket_pairs_per_shard): a shard only evaluates pairs whose tier window
+  overlaps its grid chunk, so per-shard line work is ~1/ndev of the
+  unsharded budget plus the boundary halo (shard_eval_stats meters this).
+  A pair near a shard boundary lands in both neighbours, but every
+  (line, depth, pixel) contribution lands on exactly ONE shard —
+  out-of-shard scatter rows are dropped — so the sharded sum is an exact
+  partition: no halo exchange and no collectives in the hot path,
+  giving near-linear scaling over ICI/DCN.
 * the depth recurrence (associative scan) stays on-chip per frequency
   column, as planned in SURVEY.md §7.
 
@@ -29,8 +32,8 @@ from jax import shard_map
 from stardis_tpu.opacities.line_kernel import (
     BlockedTiers,
     accumulate_line_opacity,
-    accumulate_line_opacity_blocked,
-    accumulate_line_opacity_tiered,
+    accumulate_pairs_blocked,
+    is_dense_tier,
     line_center_indices,
 )
 from stardis_tpu.pipeline import SimulationPlan, compute_continuum
@@ -53,6 +56,112 @@ def _pad_to_multiple(arr, multiple, axis=0, edge=True):
     widths[axis] = (0, pad)
     mode = "edge" if edge else "constant"
     return np.pad(arr, widths, mode=mode), pad
+
+
+def _as_pair_tiers(window_spec, n_depth):
+    """Normalize a tier spec to ((line_idx, block_idx, window) list, blk,
+    n_blocks): per-line tier lists become single-full-depth-block pairs."""
+    if isinstance(window_spec, BlockedTiers):
+        return window_spec.tiers, window_spec.block, window_spec.n_blocks
+    tiers = [
+        (np.asarray(li, dtype=np.int64), np.zeros(len(li), np.int64), int(w))
+        for li, w in window_spec
+    ]
+    return tiers, n_depth, 1
+
+
+def bucket_pairs_per_shard(window_spec, centers_global, n_depth,
+                           n_nu_global, ndev, per_shard):
+    """Host-side shard-aware line bucketing (SURVEY.md §7.3).
+
+    For each tier, keep on shard ``s`` only the (line, depth-block) pairs
+    whose tier window ``[center - w//2, center + w//2)`` (the exact pixel
+    span the kernel can touch; the reference's adaptive window heuristic is
+    opacities_solvers/base.py:561-575) overlaps the shard's pixel range
+    ``[s*per_shard, (s+1)*per_shard)``, with a +-1 pixel safety margin.
+    A pair near a shard boundary lands in BOTH neighbours (the halo), but
+    each (line, depth, pixel) contribution still lands on exactly one shard
+    because out-of-shard scatter rows are dropped in-kernel — the partition
+    stays exact and collective-free.
+
+    Per-shard lists are padded to the max count over shards (live=False
+    tail) and stacked to [ndev, P] so shard_map can hand each shard its own
+    slice while every shard runs one program.
+
+    Returns (tiers, blk, n_blocks) where tiers is a list of
+    (li [ndev, P], bi [ndev, P], live [ndev, P], window int).
+    """
+    pair_tiers, blk, n_blocks = _as_pair_tiers(window_spec, n_depth)
+    full = int(np.ceil(2 * n_nu_global / 128.0) * 128)
+    out = []
+    for li, bi, w in pair_tiers:
+        li = np.asarray(li, dtype=np.int64)
+        bi = np.asarray(bi, dtype=np.int64)
+        if len(li) == 0:
+            continue
+        if w >= full:
+            # grid-covering tier: every shard needs every pair
+            sels = [np.ones(len(li), bool)] * ndev
+        else:
+            c = centers_global[li]
+            lo = c - w // 2 - 1
+            hi = c + (w - w // 2) + 1
+            sels = [
+                (hi > s * per_shard) & (lo < (s + 1) * per_shard)
+                for s in range(ndev)
+            ]
+        pmax = max(int(sel.sum()) for sel in sels)
+        pmax = max(8, -(-pmax // 8) * 8)
+        li_a = np.zeros((ndev, pmax), np.int64)
+        bi_a = np.zeros((ndev, pmax), np.int64)
+        lv_a = np.zeros((ndev, pmax), bool)
+        for s, sel in enumerate(sels):
+            k = int(sel.sum())
+            li_a[s, :k] = li[sel]
+            bi_a[s, :k] = bi[sel]
+            lv_a[s, :k] = True
+        out.append((li_a, bi_a, lv_a, int(w)))
+    return out, blk, n_blocks
+
+
+def shard_eval_stats(window, centers_by_key, n_depth, n_nu_global, ndev):
+    """Host-only meter: per-shard window-masked Voigt-eval budgets under the
+    bucketed sharding vs the unsharded budget — the scaling-efficiency
+    evidence this single-chip environment can produce (the eval budget is
+    the line-kernel cost model: pairs x window x block for scatter tiers,
+    pairs x local-grid x block for locally-dense tiers).
+
+    Returns {"ndev", "per_shard_evals" [ndev], "unsharded_evals",
+    "efficiency"} where efficiency = unsharded / (ndev * max_per_shard):
+    1.0 is perfectly linear scaling; the halo and the dense-promotion
+    crossover push it below 1.
+    """
+    per_shard = -(-n_nu_global // ndev)
+    stats = {
+        "ndev": ndev,
+        "per_shard_evals": np.zeros(ndev, dtype=np.int64),
+        "unsharded_evals": 0,
+    }
+    for key, spec in (window or {}).items():
+        if not isinstance(spec, (BlockedTiers, list, tuple)):
+            continue
+        centers = centers_by_key[key]
+        tiers, blk, _ = bucket_pairs_per_shard(
+            spec, centers, n_depth, n_nu_global, ndev, per_shard
+        )
+        pair_tiers, _, _ = _as_pair_tiers(spec, n_depth)
+        for li, bi, w in pair_tiers:
+            width = n_nu_global if is_dense_tier(w, n_nu_global) else w
+            stats["unsharded_evals"] += len(li) * width * blk
+        for li_a, bi_a, lv_a, w in tiers:
+            width = per_shard if is_dense_tier(w, per_shard) else w
+            stats["per_shard_evals"] += lv_a.sum(axis=1) * width * blk
+    peak = int(stats["per_shard_evals"].max()) if ndev else 0
+    stats["per_shard_evals"] = stats["per_shard_evals"].tolist()
+    stats["efficiency"] = (
+        stats["unsharded_evals"] / (ndev * peak) if peak else 1.0
+    )
+    return stats
 
 
 def shard_spectrum(
@@ -103,27 +212,52 @@ def shard_spectrum(
     # of a pixel to f32 cancellation at 4.5e14 Hz (see pipeline.stage_spectrum)
     nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
     line_sets = {}
+    centers_host = {}
     if line_quants:
         if "atomic" in line_quants:
+            centers_host["atomic"] = line_center_indices(
+                nus_padded, plan.line_data.nu
+            )
             line_sets["atomic"] = (
                 jnp.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(line_center_indices(nus_padded, plan.line_data.nu)),
+                jnp.asarray(centers_host["atomic"]),
             )
         if "molecular" in line_quants:
+            centers_host["molecular"] = line_center_indices(
+                nus_padded, plan.molecule_line_data.nu
+            )
             line_sets["molecular"] = (
                 jnp.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(
-                    line_center_indices(nus_padded, plan.molecule_line_data.nu)
-                ),
+                jnp.asarray(centers_host["molecular"]),
             )
 
     nu_full = jnp.asarray(nus_padded, dtype=dtype)
     nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
 
+    # shard-aware line bucketing (host side): per tier, stack per-shard
+    # pair lists [ndev, P] so each shard only evaluates pairs whose window
+    # overlaps its grid chunk (plus the boundary halo) — the fix for
+    # every-shard-processes-every-pair scaling
+    n_depth = len(plan.temperatures)
+    pair_args = {}  # traced leaves: key -> [(li, bi, live), ...]
+    pair_meta = {}  # static: key -> ([w, ...], blk, n_blocks)
+    for key in line_sets:
+        spec = window[key] if isinstance(window, dict) else window
+        if not isinstance(spec, (BlockedTiers, list, tuple)):
+            continue  # plain int window: replicated path below
+        tiers, blk, n_blocks = bucket_pairs_per_shard(
+            spec, centers_host[key], n_depth, n_padded, ndev, per_shard
+        )
+        pair_args[key] = [
+            (jnp.asarray(li), jnp.asarray(bi), jnp.asarray(lv))
+            for li, bi, lv, _w in tiers
+        ]
+        pair_meta[key] = ([w for *_x, w in tiers], blk, n_blocks)
+
     # padded tail: weight 0 so duplicated edge frequencies don't distort
     # nothing downstream (they're sliced off at the end anyway)
 
-    def shard_fn(state_rep, lq_rep):
+    def shard_fn(state_rep, lq_rep, pair_rep):
         shard_id = jax.lax.axis_index("nu")
         offset = shard_id * per_shard
         nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_shard,))
@@ -140,18 +274,19 @@ def shard_spectrum(
         for key, (alpha, gamma, doppler) in (lq_rep or {}).items():
             line_nu_dev, centers_dev = line_sets[key]
             spec = window[key] if isinstance(window, dict) else window
-            if isinstance(spec, BlockedTiers):
-                alpha_line = accumulate_line_opacity_blocked(
+            if key in pair_meta:
+                # bucketed tiers: this shard's own pair subset (leading
+                # [ndev, ...] axis was sharded by shard_map -> local [1, P])
+                ws, blk, n_blocks = pair_meta[key]
+                tiers_local = [
+                    (li[0], bi[0], lv[0], w)
+                    for (li, bi, lv), w in zip(pair_rep[key], ws)
+                ]
+                alpha_line = accumulate_pairs_blocked(
                     nus_local_centered, line_nu_dev, centers_dev - offset,
-                    alpha, gamma, doppler,
-                    blocked=spec, d_nu=plan.d_nu, chunk=chunk,
-                    window_mode=plan.window_mode, window_epsilon=eps,
-                )
-            elif isinstance(spec, (list, tuple)):
-                alpha_line = accumulate_line_opacity_tiered(
-                    nus_local_centered, line_nu_dev, centers_dev - offset,
-                    alpha, gamma, doppler,
-                    tiers=spec, d_nu=plan.d_nu, chunk=chunk,
+                    alpha, gamma, doppler, tiers_local,
+                    blk=blk, n_blocks=n_blocks,
+                    d_nu=plan.d_nu, chunk=chunk,
                     window_mode=plan.window_mode, window_epsilon=eps,
                 )
             else:
@@ -186,11 +321,11 @@ def shard_spectrum(
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P("nu")),
         out_specs=(P(None, "nu"), P(None, "nu", None)) if track
         else P(None, "nu"),
     )
-    out = smapped(state, line_quants)
+    out = smapped(state, line_quants, pair_args)
     f_nu, i_nus = out if track else (out, None)
     if pad:
         f_nu = f_nu[:, : len(plan.tracing_nus)]

@@ -200,3 +200,183 @@ def test_split_dense_matches_numpy_oracle(strong):
     np.testing.assert_allclose(
         np.asarray(split), np.asarray(plain), rtol=1e-12, atol=1e-300
     )
+
+
+def test_traced_pairs_kernel_matches_blocked():
+    """accumulate_pairs_blocked (traced pair indices, used by the
+    shard-aware bucketed sharding) must reproduce the host-index blocked
+    kernel exactly when given the full pair lists."""
+    from stardis_tpu.opacities.line_kernel import accumulate_pairs_blocked
+
+    nus, line_nu, alpha, gamma, doppler = _random_setup(
+        n_lines=40, n_depth=13, strong=True
+    )
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, len(nus), block=4)
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    ref = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=16
+    )
+    pair_tiers = [
+        (jnp.asarray(li), jnp.asarray(bi), jnp.ones(len(li), dtype=bool), w)
+        for li, bi, w in blocked.tiers
+    ]
+    traced = accumulate_pairs_blocked(
+        *args, pair_tiers,
+        blk=blocked.block, n_blocks=blocked.n_blocks,
+        d_nu=d_nu, chunk=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traced), np.asarray(ref), rtol=1e-12, atol=1e-300
+    )
+    # dead padding pairs contribute exactly zero
+    pad_tiers = [
+        (
+            jnp.concatenate([li, jnp.zeros(5, li.dtype)]),
+            jnp.concatenate([bi, jnp.zeros(5, bi.dtype)]),
+            jnp.concatenate([lv, jnp.zeros(5, dtype=bool)]),
+            w,
+        )
+        for li, bi, lv, w in pair_tiers
+    ]
+    padded = accumulate_pairs_blocked(
+        *args, pad_tiers,
+        blk=blocked.block, n_blocks=blocked.n_blocks,
+        d_nu=d_nu, chunk=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(ref), rtol=1e-12, atol=1e-300
+    )
+
+
+def test_bucket_pairs_per_shard_covers_all_contributions():
+    """Host bucketing: summing per-shard kernels over their local grid
+    chunks reproduces the full-grid result exactly (the halo pairs land on
+    both neighbours; each contribution on exactly one shard)."""
+    from stardis_tpu.opacities.line_kernel import accumulate_pairs_blocked
+    from stardis_tpu.parallel.sharding import bucket_pairs_per_shard
+
+    nus, line_nu, alpha, gamma, doppler = _random_setup(
+        n_lines=60, n_depth=8, n_nu=512, strong=True
+    )
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, len(nus), block=4)
+    args = (
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    ref = accumulate_line_opacity_blocked(
+        jnp.asarray(nus), *args, blocked=blocked, d_nu=d_nu, chunk=16
+    )
+    ndev, per_shard = 4, 128
+    tiers, blk, n_blocks = bucket_pairs_per_shard(
+        blocked, centers, 8, len(nus), ndev, per_shard
+    )
+    pieces = []
+    for s in range(ndev):
+        local = [
+            (jnp.asarray(li[s]), jnp.asarray(bi[s]), jnp.asarray(lv[s]), w)
+            for li, bi, lv, w in tiers
+        ]
+        out_s = accumulate_pairs_blocked(
+            jnp.asarray(nus[s * per_shard:(s + 1) * per_shard]),
+            args[0],
+            args[1] - s * per_shard,  # local center coordinates
+            *args[2:],
+            local,
+            blk=blk, n_blocks=n_blocks, d_nu=d_nu, chunk=16,
+        )
+        pieces.append(np.asarray(out_s))
+    stitched = np.concatenate(pieces, axis=1)
+    np.testing.assert_allclose(stitched, np.asarray(ref), rtol=1e-12,
+                               atol=1e-300)
+    # the bucketing actually prunes: no narrow tier ships every pair to
+    # every shard
+    narrow = [t for t in tiers if t[3] < 2 * per_shard]
+    assert narrow, "expected at least one narrow tier in this setup"
+    for li, bi, lv, w in narrow:
+        assert lv.sum() < ndev * lv.shape[1] or lv.shape[1] * ndev == lv.sum()
+        per_counts = lv.sum(axis=1)
+        n_total = sum(
+            len(t_li) for t_li, t_bi, t_w in
+            [(x, y, z) for x, y, z in blocked.tiers if z == w]
+        )
+        assert per_counts.sum() < ndev * n_total  # pruned vs full replication
+
+
+def test_panelized_wide_scatter_tier_matches_plain():
+    """Wide scatter tiers (>= PANELIZE_MIN_WINDOW on wide grids) run the
+    split panelized path (region-I wings + full-Voigt cores via 3-panel
+    slice updates); it must agree with the plain scatter path to f64
+    rounding — the same exactness bar as the split dense path."""
+    from stardis_tpu.opacities.line_kernel import (
+        PANELIZE_MIN_WINDOW,
+        accumulate_line_opacity_blocked,
+        assign_window_tiers_blocked,
+        is_dense_tier,
+    )
+
+    rng = np.random.default_rng(3)
+    n_nu = 131328  # > 64 * 2048: the 2048 tier stays scatter
+    n_lines, n_depth = 12, 8
+    nus = np.linspace(4.6e14, 4.5e14, n_nu)
+    d_nu = grid_min_step(nus)
+    line_nu = rng.uniform(nus.min() + 300 * d_nu, nus.max() - 300 * d_nu,
+                          n_lines)
+    doppler = np.full((n_lines, n_depth), 5.0 * d_nu)
+    gamma = np.full((n_lines, n_depth), 20.0 * d_nu)
+    # reference window = 20 * (gamma + doppler) * alpha / d_nu = 500 * alpha
+    alpha = rng.uniform(1.2, 1.8, (n_lines, n_depth))  # win ~ 600-900 px
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, n_nu, block=4)
+    tier_ws = [w for *_x, w in blocked.tiers]
+    assert any(
+        w >= PANELIZE_MIN_WINDOW and not is_dense_tier(w, n_nu)
+        for w in tier_ws
+    ), f"setup must produce a wide scatter tier, got {tier_ws}"
+    blocked.core_half = int(np.ceil(15.5 * doppler.max() / d_nu)) + 2
+    assert 4 * blocked.core_half <= max(tier_ws)
+
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    panelized = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=8,
+        center_idx_host=centers,
+    )
+    plain = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=8,
+        center_idx_host=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(panelized), np.asarray(plain), rtol=1e-12, atol=1e-300
+    )
