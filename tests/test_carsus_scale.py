@@ -1,0 +1,141 @@
+"""Kurucz-scale converted-data end-to-end.
+
+The reference's entire data pathway is AtomData.from_hdf(
+kurucz_cd23_chianti_H_He.h5) + prepare_atom_data (reference
+io/base.py:67,103-117).  This environment has no network/pytables, so the
+proof at real scale is: generate a full-scale carsus-format store
+(1.5e5 lines, full level ladders, Z<=30; atom_data/synthetic_carsus.py),
+ingest it through the SAME converter CLI a real kurucz file would use,
+then run the full pipeline off the converted file and golden-pin the
+spectrum (tests/golden/carsus_scale.npz).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+
+from stardis_tpu import run_stardis
+from stardis_tpu import units as u
+from stardis_tpu.atom_data.base import AtomData
+from stardis_tpu.atom_data.convert import main as convert_main
+from stardis_tpu.atom_data.synthetic_carsus import (
+    build_carsus_frames,
+    write_store,
+)
+from stardis_tpu.util.regression import RegressionData
+
+GOLDEN_DIR = Path(__file__).parent / "golden"
+
+N_LINES = 150_000
+
+
+@pytest.fixture(scope="module")
+def converted_store(tmp_path_factory):
+    base = tmp_path_factory.mktemp("carsus_scale")
+    carsus_path = base / "carsus_synth.h5"
+    native_path = base / "native.h5"
+    frames = build_carsus_frames(n_lines=N_LINES)
+    write_store(frames, carsus_path)
+    rc = convert_main([str(carsus_path), str(native_path)])
+    assert rc == 0
+    return frames, native_path
+
+
+def test_full_scale_store_content(converted_store):
+    frames, native_path = converted_store
+    adata = AtomData.from_hdf(native_path)
+    assert len(adata.lines) == N_LINES
+    assert len(adata.linelist_atoms) == 120_000
+    assert len(adata.levels) > 5_000
+    assert adata.atom_data.index.max() == 30
+    assert adata.molecule_data is not None
+    # unit normalization happened: eV -> erg (H chi = 2.18e-11 erg)
+    np.testing.assert_allclose(
+        adata.ionization_data.loc[(1, 1)], 2.178712e-11, rtol=1e-4
+    )
+    # line frequencies consistent with the level pairs they connect
+    # (generator computed wavelength from actual level energy differences)
+    ln = adata.lines.iloc[0]
+    e_lo = adata.levels.loc[
+        (ln.atomic_number, ln.ion_number, ln.level_number_lower)
+    ].energy
+    e_up = adata.levels.loc[
+        (ln.atomic_number, ln.ion_number, ln.level_number_upper)
+    ].energy
+    h_cgs = 6.62607015e-27
+    np.testing.assert_allclose(ln.nu, (e_up - e_lo) / h_cgs, rtol=1e-6)
+
+
+def test_full_scale_pipeline_golden(converted_store, tmp_path, request):
+    """from_hdf -> prepare_atom_data -> full pipeline at kurucz scale,
+    golden-pinned.  Uses the VALD path (linelist_atoms), the same one a
+    converted real kurucz+VALD store would exercise."""
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    _frames, native_path = converted_store
+    model_path = tmp_path / "sun.mod"
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": str(native_path),
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_path),
+            "final_atomic_number": 30,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "rayleigh": ["H"],
+            "disable_electron_scattering": False,
+            "line": {
+                "disable": False,
+                "broadening": [
+                    "radiation", "linear_stark", "quadratic_stark",
+                    "van_der_waals",
+                ],
+                "vald_linelist": {
+                    "use_linelist": True,
+                    "use_vald_broadening": True,
+                },
+            },
+        },
+        "no_of_thetas": 10,
+        "result_options": {"return_plasma": True},
+    }
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    lams = u.Quantity(np.arange(5150.0, 5170.0, 0.02), u.AA)
+    out = run_stardis(str(cfg), lams)
+
+    # a kurucz-scale list puts a few hundred VALD lines in any 20 AA
+    # optical window (data-side count; the pipeline selects with a margin)
+    adata = AtomData.from_hdf(native_path)
+    ll = adata.linelist_atoms
+    n_window = int(
+        ((ll.wavelength >= 5150.0) & (ll.wavelength <= 5170.0)).sum()
+    )
+    assert n_window > 200, (
+        f"expected a few hundred VALD lines in the 20 AA window at "
+        f"kurucz scale, got {n_window}"
+    )
+    assert np.isfinite(out.spectrum_nu).all()
+    assert (out.spectrum_nu > 0).all()
+
+    reg = RegressionData(
+        GOLDEN_DIR, "carsus_scale",
+        generate=request.config.getoption("--generate-reference"),
+        rtol=1e-6,
+    )
+    reg.sync_ndarray("nus", out.nus)
+    reg.sync_ndarray("spectrum_nu", out.spectrum_nu)
+    reg.sync_scalar("n_lines_in_window", n_window)
+    reg.sync_ndarray(
+        "electron_densities",
+        np.asarray(out.stellar_plasma.electron_densities),
+    )
+    reg.flush()
