@@ -152,6 +152,18 @@ HE_I_LEVELS_EV = [
     (23.073650, 15),  # 3d 3D
     (23.074365, 5),  # 3d 1D2
     (23.087019, 3),  # 3p 1P1
+    # n = 4 shell (NIST; singly-excited He is He+ core + hydrogenic
+    # electron, E_n ~ 24.587 - 13.598/n^2, which pins these to < 1 meV)
+    (23.593921, 3),   # 4s 3S1
+    (23.673570, 1),   # 4s 1S0
+    (23.707890, 9),   # 4p 3P
+    (23.736090, 15),  # 4d 3D
+    (23.736490, 5),   # 4d 1D2
+    (23.737000, 28),  # 4f 3F* + 1F* (term avg)
+    (23.742070, 3),   # 4p 1P1
+    # n = 5 / n = 6 hydrogenic shell clusters (g = 4 n^2)
+    (24.043, 100),
+    (24.209, 144),
 ]
 
 
@@ -316,55 +328,143 @@ def build_builtin_atom_data(
     )
 
 
-def build_demo_molecule_data():
-    """Statistical-mechanics-derived H2 and CO tables in the Barklem &
-    Collet 2016 storage convention (log10 of the pressure equilibrium
-    constant in Pa vs T; partition functions vs T; dissociation energies
-    with constituent symbols).
+# Ground-electronic-state spectroscopic constants of the spectrally
+# dominant diatomics, Huber & Herzberg (1979, "Constants of Diatomic
+# Molecules"): omega_e / omega_e x_e / B_e in cm^-1; D0 in eV; sigma the
+# homonuclear symmetry factor; g_el = (2S+1)*(2 - delta_{Lambda,0}) of the
+# ground term.  These are measured molecular constants (the same data
+# underlying the Barklem & Collet 2016 tables), not fits to this code.
+DIATOMIC_CONSTANTS_HH = {
+    # name: (ion1, ion2, omega_e, omega_e x_e, B_e, sigma, g_el, D0_eV)
+    "H2": ("H", "H", 4401.21, 121.34, 60.853, 2, 1, 4.4781),  # X 1Sg+
+    "CO": ("C", "O", 2169.81, 13.29, 1.9313, 1, 1, 11.092),   # X 1S+
+    "CH": ("C", "H", 2858.5, 63.0, 14.457, 1, 4, 3.465),      # X 2Pi
+    "OH": ("O", "H", 3737.76, 84.88, 18.91, 1, 4, 4.392),     # X 2Pi
+    "MgH": ("Mg", "H", 1495.20, 31.89, 5.8257, 1, 2, 1.285),  # X 2S+
+}
 
-    K_n = (2 pi mu k T / h^2)^{3/2} (U_A U_B / U_AB) exp(-D0/kT), converted
-    to K_p = K_n k T.  Rigid-rotor U_AB = kT / (sigma B).  Approximate
-    (few-percent-level) — real B&C tables can be loaded from HDF; this makes
-    the molecular code path exercisable without external data.
+#: temperature grid of the generated molecular tables [K]
+MOLECULE_TABLE_TEMPS = np.array(
+    [1000.0, 1500.0, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0, 8000.0,
+     10000.0, 15000.0, 20000.0]
+)
+
+
+def diatomic_partition_function(temps, omega_e, omega_e_xe, b_e, sigma,
+                                g_el, d0_ev):
+    """Ground-state vib-rot partition function by direct level sums.
+
+    U = g_el * sum_v exp(-G(v)/kT) * (1/sigma) sum_J (2J+1) exp(-F(J)/kT)
+    with the Morse-like vibrational term G(v) = we(v+1/2) - wexe(v+1/2)^2
+    referenced to v=0 and rigid-rotor F(J) = Be J(J+1); sums truncated at
+    the dissociation limit.  Accurate to a few percent vs the B&C2016
+    direct summations below ~8000 K (B&C additionally include excited
+    electronic states and centrifugal terms that matter at higher T).
     """
     from stardis_tpu.constants import C_CGS as _C, H_CGS, K_B_CGS
 
-    temps = np.array(
-        [1500.0, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0, 8000.0, 10000.0,
-         15000.0, 20000.0]
-    )
+    temps = np.atleast_1d(np.asarray(temps, dtype=float))
+    kt_cm = K_B_CGS * temps / (H_CGS * _C)  # kT in cm^-1
+    d0_cm = d0_ev * EV_TO_ERG / (H_CGS * _C)
 
-    def tables_for(mu_amu, d0_ev, u_a, u_b, b_rot_ev, sigma):
-        mu = mu_amu * AMU_CGS
+    # vibrational ladder to the Morse maximum (or dissociation)
+    v_top = int(np.floor(omega_e / (2.0 * omega_e_xe) - 0.5))
+    v = np.arange(0, max(v_top, 1) + 1)
+    g_v = omega_e * (v + 0.5) - omega_e_xe * (v + 0.5) ** 2
+    g_v = g_v - g_v[0]
+    keep = (g_v >= 0) & (g_v < d0_cm)
+    g_v = g_v[keep]
+    u_vib = np.exp(-g_v[None, :] / kt_cm[:, None]).sum(axis=1)
+
+    j_top = int(np.floor(np.sqrt(max(d0_cm, b_e) / b_e)))
+    j = np.arange(0, j_top + 1)
+    f_j = b_e * j * (j + 1.0)
+    f_j = f_j[f_j < d0_cm]
+    u_rot = (
+        (2.0 * j[: len(f_j)] + 1.0)[None, :]
+        * np.exp(-f_j[None, :] / kt_cm[:, None])
+    ).sum(axis=1) / sigma
+    return g_el * u_vib * u_rot
+
+
+def _atomic_u(symbol, temps):
+    """Atomic partition function from the builtin NIST tables (ground
+    hydrogen ladder for H)."""
+    from stardis_tpu.constants import K_B_CGS
+    from stardis_tpu.atom_data.nist_levels import NIST_METAL_LEVELS_EV
+    from stardis_tpu.util.species import SYMBOL_TO_Z
+
+    temps = np.atleast_1d(np.asarray(temps, dtype=float))
+    z = SYMBOL_TO_Z[symbol]
+    if z == 1:
+        levels = [(0.0, 2)]  # excited H negligible below ~12,000 K
+    elif z == 2:
+        levels = HE_I_LEVELS_EV
+    else:
+        levels = NIST_METAL_LEVELS_EV.get(
+            (z, 0), [(0.0, GROUND_G.get(z, [1])[0])]
+        )
+    e = np.array([lv[0] for lv in levels]) * EV_TO_ERG
+    g = np.array([lv[1] for lv in levels], dtype=float)
+    return (g[None, :] * np.exp(-e[None, :] / (K_B_CGS * temps[:, None]))
+            ).sum(axis=1)
+
+
+def build_molecule_data_hh(names=None, temps=None):
+    """Molecular tables in the Barklem & Collet 2016 storage convention
+    (log10 of the pressure equilibrium constant in Pa vs T; partition
+    functions vs T; dissociation energies with constituent symbols),
+    computed from the Huber & Herzberg constants above:
+
+    K_n = (2 pi mu k T / h^2)^{3/2} (U_A U_B / U_AB) exp(-D0/kT),
+    K_p[Pa] = K_n k T / 10, with U_AB the direct vib-rot sum and U_A/U_B
+    the builtin NIST atomic partition functions.  Real B&C2016 tables can
+    replace these via the carsus converter; this generator anchors the
+    builtin path to measured spectroscopic constants (reference consumes
+    the same table layout at stardis/plasma/molecules.py:85-103,161-189).
+    """
+    from stardis_tpu.constants import H_CGS, K_B_CGS
+    from stardis_tpu.util.species import SYMBOL_TO_Z
+
+    temps = MOLECULE_TABLE_TEMPS if temps is None else np.asarray(temps)
+    names = list(DIATOMIC_CONSTANTS_HH) if names is None else list(names)
+
+    log_kp, u_mol, ion1s, ion2s, d0s = [], [], [], [], []
+    for name in names:
+        ion1, ion2, we, wexe, be, sigma, g_el, d0 = DIATOMIC_CONSTANTS_HH[
+            name
+        ]
+        u_ab = diatomic_partition_function(temps, we, wexe, be, sigma,
+                                           g_el, d0)
+        m1 = ATOMIC_WEIGHTS_AMU[SYMBOL_TO_Z[ion1]]
+        m2 = ATOMIC_WEIGHTS_AMU[SYMBOL_TO_Z[ion2]]
+        mu = m1 * m2 / (m1 + m2) * AMU_CGS
         lam = (2 * np.pi * mu * K_B_CGS * temps / H_CGS**2) ** 1.5
-        u_rot = K_B_CGS * temps / (sigma * b_rot_ev * EV_TO_ERG)
-        k_n = lam * (u_a * u_b / u_rot) * np.exp(
-            -d0_ev * EV_TO_ERG / (K_B_CGS * temps)
+        u_a = _atomic_u(ion1, temps)
+        u_b = _atomic_u(ion2, temps)
+        k_n = lam * (u_a * u_b / u_ab) * np.exp(
+            -d0 * EV_TO_ERG / (K_B_CGS * temps)
         )
         k_p_pa = k_n * K_B_CGS * temps / 10.0  # dyn/cm^2 -> Pa
-        return np.log10(k_p_pa), u_rot
+        log_kp.append(np.log10(k_p_pa))
+        u_mol.append(u_ab)
+        ion1s.append(ion1)
+        ion2s.append(ion2)
+        d0s.append(d0)
 
-    log_kp_h2, u_h2 = tables_for(0.504, 4.478, 2.0, 2.0, 7.54e-3, 2)
-    log_kp_co, u_co = tables_for(6.860, 11.092, 9.0, 9.0, 2.39e-4, 1)
-
-    eq = pd.DataFrame(
-        [log_kp_h2, log_kp_co],
-        index=pd.Index(["H2", "CO"], name="molecule"),
-        columns=temps,
-    )
-    pf = pd.DataFrame(
-        [u_h2, u_co],
-        index=pd.Index(["H2", "CO"], name="molecule"),
-        columns=temps,
-    )
+    idx = pd.Index(names, name="molecule")
+    eq = pd.DataFrame(log_kp, index=idx, columns=temps)
+    pf = pd.DataFrame(u_mol, index=idx, columns=temps)
     de = pd.DataFrame(
-        {
-            "Ion1": ["H", "C"],
-            "Ion2": ["H", "O"],
-            "dissociation_energy": [4.478, 11.092],
-        },
-        index=pd.Index(["H2", "CO"], name="molecule"),
+        {"Ion1": ion1s, "Ion2": ion2s, "dissociation_energy": d0s},
+        index=idx,
     )
     from stardis_tpu.atom_data.base import MoleculeData
 
     return MoleculeData(eq, pf, de)
+
+
+def build_demo_molecule_data():
+    """Backwards-compatible alias: the builtin molecular tables are now the
+    Huber & Herzberg anchored set (previously a rotational-only demo)."""
+    return build_molecule_data_hh()

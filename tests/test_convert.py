@@ -128,16 +128,33 @@ def test_convert_native_roundtrip(tmp_path):
     assert len(back.linelist_atoms) == 1
 
 
-def test_load_carsus_store_requires_pytables(tmp_path):
-    has_tables = True
-    try:
-        import tables  # noqa: F401
-    except ImportError:
-        has_tables = False
-    if has_tables:
-        pytest.skip("pytables installed; gating error not reachable")
-    with pytest.raises(ImportError, match="tables"):
-        load_carsus_store(str(tmp_path / "x.h5"))
+def test_load_carsus_store_h5py_fallback(tmp_path):
+    """Without pytables, load_carsus_store falls back to the h5py
+    pandas-fixed-format reader (round-2 behavior raised ImportError; the
+    fallback makes carsus stores ingestible in pytables-free runtimes)."""
+    from stardis_tpu.atom_data.synthetic_carsus import write_store
+
+    path = tmp_path / "store.h5"
+    write_store(carsus_frames(), path)
+    frames = load_carsus_store(str(path))
+    assert {"atom_data", "ionization_data", "levels"} <= set(frames)
+    pd.testing.assert_frame_equal(
+        frames["levels"].astype({"g": float}),
+        carsus_frames()["levels"].astype({"g": float}),
+        check_dtype=False,
+        check_index_type=False,
+    )
+
+
+def test_load_carsus_store_missing_tables_error(tmp_path):
+    """A store lacking the required tables raises a clear ValueError."""
+    import h5py
+
+    path = tmp_path / "empty.h5"
+    with h5py.File(path, "w") as f:
+        f.create_group("unrelated")
+    with pytest.raises(ValueError, match="lacks required tables"):
+        load_carsus_store(str(path))
 
 
 def test_from_hdf_error_names_real_converter(tmp_path):

@@ -47,7 +47,8 @@ def test_molecule_number_density_physical(mol_setup):
     ad, tables, temps, state = mol_setup
     mt = build_molecule_tables(ad, tables, temps)
     n_mol = np.asarray(molecule_number_density(mt, state))
-    assert n_mol.shape == (2, 4)
+    assert n_mol.shape == (mt.n_molecules, 4)
+    assert mt.n_molecules >= 5  # H2, CO, CH, OH, MgH
     assert (n_mol >= 0).all()
     i_h2 = mt.index_of("H2")
     # H2 fraction decreases with temperature (dissociation)

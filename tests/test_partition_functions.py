@@ -16,6 +16,7 @@ import jax.numpy as jnp  # noqa: E402
 from stardis_tpu.atom_data.builtin import build_builtin_atom_data
 from stardis_tpu.atom_data.nist_levels import (
     NIST_METAL_LEVELS_EV,
+    PUBLISHED_U_10000K_RANGES,
     PUBLISHED_U_5777K_RANGES,
 )
 from stardis_tpu.constants import K_B_CGS
@@ -88,3 +89,27 @@ def test_fe_i_u_beats_ground_term_only(tables):
     u_hot = host_partition_function(tables, 26, 0, 8000.0)
     assert u_cool < u_sun < u_hot  # T-dependence exists
     assert u_sun > 26.0  # excited terms contribute beyond g0=25
+
+
+@pytest.mark.parametrize("species", sorted(PUBLISHED_U_10000K_RANGES))
+def test_u_10000_in_published_range(tables, species):
+    """Hot-star anchor (round-2 verdict: builtin U(T) was only pinned at
+    5777 K).  Only species whose low-lying tables stay nearly complete at
+    10^4 K are pinned — see PUBLISHED_U_10000K_RANGES."""
+    z, ion = species
+    lo, hi = PUBLISHED_U_10000K_RANGES[species]
+    u = host_partition_function(tables, z, ion, 10_000.0)
+    assert lo <= u <= hi, (
+        f"U(Z={z}, ion={ion}, 10000K) = {u:.2f} outside published "
+        f"range [{lo}, {hi}]"
+    )
+
+
+def test_he_i_n4_to_n6_levels_present(tables):
+    """He I now carries the n=4 shell + n=5/6 hydrogenic clusters: the
+    total He I statistical weight above 23.5 eV must be >= 3+1+9+15+5+28+3
+    + 100 + 144."""
+    slot = tables.slot_of(2, 0)
+    sel = tables.level_slot == slot
+    high = tables.level_energy[sel] > 23.5 * 1.602176634e-12
+    assert tables.level_g[sel][high].sum() >= 308
