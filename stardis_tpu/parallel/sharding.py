@@ -172,6 +172,7 @@ def shard_spectrum(
     mesh: Mesh,
     chunk: int | None = 1024,
     ray_distances=None,  # [G, T] override (serving: per-request geometry)
+    file_sigma_override=None,  # [D, N] host arrays (serving: re-interp)
 ):
     """Sharded equivalent of pipeline.stage_spectrum (F_nu only).
 
@@ -206,6 +207,16 @@ def shard_spectrum(
                 (name, _pad_to_multiple(sig, ndev, axis=1)[0], dplan)
                 for name, sig, dplan in plan.file_sources
             ],
+        )
+    if file_sigma_override is not None:
+        # may be traced (serving passes it through jit): jnp.pad only
+        def _pad_sig(sig):
+            sig = jnp.asarray(sig)
+            p = (-sig.shape[1]) % ndev
+            return jnp.pad(sig, ((0, 0), (0, p)), mode="edge") if p else sig
+
+        file_sigma_override = tuple(
+            _pad_sig(sig) for sig in file_sigma_override
         )
 
     # centered frame for the line kernels: dnu = grid - line_nu loses ~4%
@@ -257,7 +268,7 @@ def shard_spectrum(
     # padded tail: weight 0 so duplicated edge frequencies don't distort
     # nothing downstream (they're sliced off at the end anyway)
 
-    def shard_fn(state_rep, lq_rep, pair_rep):
+    def shard_fn(state_rep, lq_rep, pair_rep, sigma_rep):
         shard_id = jax.lax.axis_index("nu")
         offset = shard_id * per_shard
         nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_shard,))
@@ -265,7 +276,10 @@ def shard_spectrum(
             nu_full_centered, (offset,), (per_shard,)
         )
 
-        opac = compute_continuum(plan, state_rep, nus_local, nu_offset=offset)
+        opac = compute_continuum(
+            plan, state_rep, nus_local, nu_offset=offset,
+            file_sigma_override=sigma_rep if sigma_rep else None,
+        )
         total = None
         for key, val in opac.items():
             total = val if total is None else total + val
@@ -321,11 +335,14 @@ def shard_spectrum(
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P("nu")),
+        in_specs=(P(), P(), P("nu"), P()),
         out_specs=(P(None, "nu"), P(None, "nu", None)) if track
         else P(None, "nu"),
     )
-    out = smapped(state, line_quants, pair_args)
+    out = smapped(
+        state, line_quants, pair_args,
+        file_sigma_override if file_sigma_override is not None else (),
+    )
     f_nu, i_nus = out if track else (out, None)
     if pad:
         f_nu = f_nu[:, : len(plan.tracing_nus)]

@@ -386,21 +386,32 @@ def max_window_pixels(quants, d_nu):
     return win
 
 
-def compute_continuum(plan: SimulationPlan, state, tracing_nus, nu_offset=None):
+def compute_continuum(plan: SimulationPlan, state, tracing_nus, nu_offset=None,
+                      file_sigma_override=None):
     """Jittable: all continuum sources -> dict of [D, N] arrays.
 
     nu_offset: when given (sharded execution), file-table sigmas — which were
     interpolated on the *global* grid — are dynamically sliced to the local
     [D, n_local] chunk starting at that offset.
+    file_sigma_override: optional tuple of traced [D, N_global] arrays (one
+    per plan.file_sources entry, same order) replacing the plan's baked
+    sigmas — the serving layer re-interpolates them host-side when a
+    request's temperatures drift from the plan's.
     """
     n_nu = tracing_nus.shape[0]
     out = {}
-    for name, sig, dplan in plan.file_sources:
+    for i, (name, sig, dplan) in enumerate(plan.file_sources):
         density = cont.species_density(dplan, state, plan.tables)
-        sig_dev = jnp.asarray(sig, dtype=density.dtype)
+        if file_sigma_override is not None:
+            sig_dev = jnp.asarray(file_sigma_override[i], dtype=density.dtype)
+        else:
+            sig_dev = jnp.asarray(sig, dtype=density.dtype)
         if nu_offset is not None:
+            # axis_index is int32; match the zero index's dtype to it
+            off = jnp.asarray(nu_offset)
+            zero = jnp.zeros((), dtype=off.dtype)
             sig_dev = jax.lax.dynamic_slice(
-                sig_dev, (0, nu_offset), (sig_dev.shape[0], n_nu)
+                sig_dev, (zero, off), (sig_dev.shape[0], n_nu)
             )
         out[f"alpha_file_{name}"] = cont.calc_alpha_file(sig_dev, density)
 
@@ -448,6 +459,7 @@ _PLAN_CORRECTION = "plan"
 def stage_spectrum(
     plan: SimulationPlan, state, line_quants, window, chunk: int = 1024,
     ray_distances=None, photospheric_correction=_PLAN_CORRECTION,
+    file_sigma_override=None,
 ):
     """Jittable (static: window, chunk): opacities + formal solution.
 
@@ -457,9 +469,12 @@ def stage_spectrum(
     photospheric_correction: the sentinel "plan" applies the plan's static
     (r/r_ref)^2; the batched runner passes each model's own correction as a
     traced scalar instead (reference applies it per model at
-    radiation_field_solvers/base.py:340-344)."""
+    radiation_field_solvers/base.py:340-344).
+    file_sigma_override: see compute_continuum."""
     tracing_nus = jnp.asarray(plan.tracing_nus, dtype=state.t.dtype)
-    opacities = compute_continuum(plan, state, tracing_nus)
+    opacities = compute_continuum(
+        plan, state, tracing_nus, file_sigma_override=file_sigma_override
+    )
 
     # the line kernels consume the grid ONLY through dnu = grid - line_nu;
     # shifting both by a reference frequency (in float64, host-side) before

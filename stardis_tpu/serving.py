@@ -24,10 +24,12 @@ The reference has no serving layer (its asv benchmarks re-run
 
 Limitations (documented, checked at request time):
 * all requests must share the config, wavelength grid, and depth count;
-* tabulated file opacities (``opacity.file``) are interpolated at the
-  plan-building model's temperatures; requests whose temperatures differ
-  beyond ``file_opacity_rtol`` are rejected rather than silently served
-  with stale sigmas (use the John analytic sources for T-robust serving);
+* tabulated file opacities (``opacity.file``): single-request serving
+  re-interpolates the [D, N] sigma tables host-side whenever a request's
+  temperatures differ from the plan's (milliseconds, counted in
+  ``stats.sigma_reinterp_events``); only the BATCH path still rejects
+  drift beyond ``file_opacity_rtol`` (per-model sigma tables are not
+  threaded through the vmapped stage);
 * microturbulence and spherical geometry are baked per service instance.
 """
 
@@ -46,6 +48,7 @@ class ServiceStats:
     requests: int = 0
     compiles: int = 0
     retier_events: int = 0
+    sigma_reinterp_events: int = 0
 
 
 class SpectralService:
@@ -158,17 +161,21 @@ class SpectralService:
 
             mesh = self._mesh
 
-            def sharded(s, q, rays):
+            def sharded(s, q, rays, sigmas):
                 out = shard_spectrum(
-                    plan, s, q, window, mesh, chunk=chunk, ray_distances=rays
+                    plan, s, q, window, mesh, chunk=chunk,
+                    ray_distances=rays,
+                    file_sigma_override=sigmas if sigmas else None,
                 )
                 return out[0] if isinstance(out, tuple) else out
 
             self._stage2 = jax.jit(sharded)
         else:
             self._stage2 = jax.jit(
-                lambda s, q, rays: stage_spectrum(
-                    plan, s, q, window=window, chunk=chunk, ray_distances=rays
+                lambda s, q, rays, sigmas: stage_spectrum(
+                    plan, s, q, window=window, chunk=chunk,
+                    ray_distances=rays,
+                    file_sigma_override=sigmas if sigmas else None,
                 )[0]
             )
 
@@ -224,12 +231,16 @@ class SpectralService:
         self.stats.compiles += 1
 
     # ------------------------------------------------------------------
-    def _check_request(self, stellar_model, plan, label="this request"):
+    def _check_request(self, stellar_model, plan, label="this request",
+                       reject_file_drift=True):
         """Request-compatibility guards shared by synthesize and
         synthesize_batch: baked-per-plan quantities (microturbulence,
-        geometry kind, file-opacity interpolation temperatures, depth
-        count) must match, or the request is rejected rather than silently
-        served with stale baked values."""
+        geometry kind, depth count) must match, or the request is rejected
+        rather than silently served with stale baked values.
+
+        File-opacity temperature drift is rejected only when
+        ``reject_file_drift`` (the batch path); the single-request path
+        re-interpolates the sigma tables host-side instead."""
         temps_np = np.asarray(stellar_model.temperatures, float)
         if len(temps_np) != len(plan.temperatures):
             raise ValueError(
@@ -255,17 +266,45 @@ class SpectralService:
                 f"{plan.microturbulence_cgs} (baked per service); rebuild "
                 "the service"
             )
-        if plan.file_sources and not np.allclose(
-            temps_np, np.asarray(plan.temperatures, float),
-            rtol=self._file_opacity_rtol,
+        if (
+            reject_file_drift
+            and plan.file_sources
+            and not np.allclose(
+                temps_np, np.asarray(plan.temperatures, float),
+                rtol=self._file_opacity_rtol,
+            )
         ):
             raise ValueError(
                 "tabulated file opacities were interpolated at the plan "
                 f"model's temperatures; {label}'s temperatures differ "
-                f"beyond rtol={self._file_opacity_rtol}. Rebuild the "
-                "service (or use the *_john analytic sources)."
+                f"beyond rtol={self._file_opacity_rtol}. Batched serving "
+                "cannot re-interpolate per model — rebuild the service "
+                "(or use the *_john analytic sources)."
             )
         return temps_np
+
+    def _file_sigmas_for(self, temps_np):
+        """Per-request file-opacity sigma tables: the plan's baked arrays
+        when the temperatures match, else a host bilinear re-interpolation
+        at this request's temperatures (milliseconds; counted in stats)."""
+        plan = self._plan
+        if not plan.file_sources:
+            return ()
+        if np.allclose(
+            temps_np, np.asarray(plan.temperatures, float), rtol=1e-12
+        ):
+            return tuple(sig for _name, sig, _dplan in plan.file_sources)
+        from stardis_tpu.opacities.file_tables import sigma_file
+
+        self.stats.sigma_reinterp_events += 1
+        lambdas_aa = 2.99792458e18 / plan.tracing_nus
+        file_cfg = self.config.opacity.file
+        return tuple(
+            sigma_file(
+                lambdas_aa, temps_np, file_cfg[name], name
+            ).astype(self._dtype)
+            for name, _sig, _dplan in plan.file_sources
+        )
 
     def synthesize(self, stellar_model):
         """Emergent spectrum for one atmosphere; returns a dict with
@@ -283,7 +322,13 @@ class SpectralService:
             self._build(stellar_model)
 
         plan = self._plan
-        temps_np = self._check_request(stellar_model, plan)
+        temps_np = self._check_request(
+            stellar_model, plan, reject_file_drift=False
+        )
+        sigmas = tuple(
+            jnp.asarray(s, dtype=self._dtype)
+            for s in self._file_sigmas_for(temps_np)
+        )
 
         temps = jnp.asarray(temps_np, dtype=self._dtype)
         n_elem_frame = stellar_model.composition.elemental_number_density
@@ -311,7 +356,7 @@ class SpectralService:
             self.stats.retier_events += 1
             self._freeze_tiers(state, lq)
 
-        f_nu = self._stage2(state, lq, rays)
+        f_nu = self._stage2(state, lq, rays, sigmas)
         f_nu_np = np.asarray(f_nu)
         if stellar_model.spherical and plan.photospheric_correction:
             # stage_spectrum applied the TEMPLATE model's (r/r_ref)^2; swap

@@ -111,7 +111,11 @@ def test_service_retier_still_exact(service_setup):
     )
 
 
-def test_service_rejects_mismatched_file_opacity_temps(tmp_path):
+def test_service_reinterpolates_file_opacity_on_temp_drift(tmp_path):
+    """Round-2 behavior rejected any request whose temperatures drifted
+    from the plan's when file opacities are baked; the service now
+    re-interpolates the sigma tables host-side and the result must match
+    a from-scratch run at the drifted temperatures."""
     import pathlib
 
     ref_data = pathlib.Path("/root/reference/stardis/data")
@@ -141,8 +145,27 @@ def test_service_rejects_mismatched_file_opacity_temps(tmp_path):
     lams = u.Quantity(np.arange(6560.0, 6565.0, 0.1), u.AA)
     svc = SpectralService(str(cfg), lams, dtype=np.float64)
     svc.synthesize(_model_for(str(cfg), sun))
+    assert svc.stats.sigma_reinterp_events == 0
+
+    served = svc.synthesize(_model_for(str(cfg), hot))
+    assert svc.stats.sigma_reinterp_events == 1
+
+    from stardis_tpu import run_stardis
+
+    hot_cfg = tmp_path / "c_hot.yml"
+    config["input_model"]["fname"] = str(hot)
+    hot_cfg.write_text(yaml.safe_dump(config))
+    ref = run_stardis(str(hot_cfg), lams)
+    np.testing.assert_allclose(
+        served["spectrum_nu"], np.asarray(ref.spectrum_nu), rtol=1e-8
+    )
+
+    # the BATCH path still rejects drift (per-model sigmas are not
+    # threaded through the vmapped stage)
     with pytest.raises(ValueError, match="temperatures"):
-        svc.synthesize(_model_for(str(cfg), hot))
+        svc.synthesize_batch(
+            [_model_for(str(cfg), sun), _model_for(str(cfg), hot)]
+        )
 
 
 def test_service_batch(service_setup):
