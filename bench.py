@@ -183,7 +183,16 @@ def main():
     stage2 = jax.jit(
         lambda s, q: stage_spectrum(plan, s, q, window=window, chunk=None)[0]
     )
-    # compile + warmup
+    # compile + warmup; keep the compiled object so XLA's own FLOP count
+    # can cross-check the hand count (the %-of-peak anchor)
+    compiled2 = stage2.lower(state, lq).compile()
+    xla_flops = None
+    try:
+        cost = compiled2.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        xla_flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        pass
     f_nu = stage2(state, lq)
     jax.block_until_ready(f_nu)
 
@@ -244,13 +253,23 @@ def main():
     lines_per_s = n_lines / wall
     flops = flop_count / wall
     mfu = flops / V5E_VPU_F32_PEAK
+    xla_line = ""
+    if xla_flops and np.isfinite(xla_flops):
+        # post-fusion HLO count; transcendental-heavy fusions count ~1
+        # FLOP, so this is a hard LOWER bound, far below the hand count —
+        # the calibrated anchor is the Voigt speed-of-light comparison in
+        # docs/performance.md
+        xla_line = (
+            "; XLA cost_analysis %.2e HLO-FLOP/exec (post-fusion lower "
+            "bound; see docs/performance.md)" % xla_flops
+        )
     baseline_floor = 560_000 / 1800.0  # asv Sim100AA timeout-cap floor
     result = {
         "metric": "sim100aa_dense_grid_cells_per_s",
         "value": round(cells_per_s, 1),
         "unit": "(lambda*depth) cells/s; wall %.3fs; %d lines (%.0f lines/s); "
         "%.2e voigt evals -> %.2e FLOP/s est = %.1f%% of v5e VPU f32 peak; "
-        "tiers %s; %s%s; vs_baseline is a LOWER BOUND (asv 1800s-cap floor)"
+        "tiers %s; %s%s%s; vs_baseline is a LOWER BOUND (asv 1800s-cap floor)"
         % (
             wall,
             n_lines,
@@ -261,6 +280,7 @@ def main():
             tier_info,
             jax.devices()[0].device_kind,
             shard_line,
+            xla_line,
         ),
         "vs_baseline": round(cells_per_s / baseline_floor, 1),
     }

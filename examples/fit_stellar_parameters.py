@@ -1,0 +1,117 @@
+"""Gradient-based stellar-parameter fitting through the full pipeline.
+
+A capability the reference (NumPy/Numba) does not have: the emergent
+spectrum is differentiable w.r.t. the atmosphere, so stellar parameters
+can be recovered by gradient descent through the LTE solve, line
+opacities, and radiative transfer — no grid interpolation, no MCMC
+forward-model counts.
+
+This demo perturbs a solar temperature structure (one scalar: a
+temperature scale factor), "observes" the Balmer-wing spectrum of the
+perturbed atmosphere, then recovers the scale from the unperturbed start
+by Adam on the autodiff gradient of a chi^2 loss.
+
+Run:  python examples/fit_stellar_parameters.py
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import yaml
+
+
+def main():
+    import jax
+
+    # run on CPU f64 for a crisp demo (drop these two lines on TPU)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from stardis_tpu import parse_config_to_model
+    from stardis_tpu import units as u
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.pipeline import (
+        build_simulation_plan,
+        stage_plasma_and_lines,
+        stage_spectrum,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stardis_fit_")
+    model_path = f"{tmp}/sun.mod"
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": model_path, "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "ff": {"H_I": {}},
+            "rayleigh": ["H"],
+            "line": {"disable": False, "broadening": ["radiation"]},
+        },
+        "no_of_thetas": 5,
+        "result_options": {},
+    }
+    cfg = f"{tmp}/c.yml"
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(config, fh)
+    config, adata, model = parse_config_to_model(cfg)
+    lams = np.arange(6556.0, 6572.0, 0.05)
+    nus = np.asarray(u.Quantity(lams, u.AA).to(u.Hz, u.spectral()))
+    plan = build_simulation_plan(config, adata, model, nus)
+
+    temps0 = jnp.asarray(plan.temperatures)
+    n_elem0 = jnp.asarray(plan.n_elem)
+    window = 512  # static window wide enough for every scale probed
+
+    def spectrum(scale):
+        # scaling T at fixed total gas density: n ~ P/(kT) -> n/scale
+        state, lq = stage_plasma_and_lines(
+            plan, temps0 * scale, n_elem0 / scale
+        )
+        f_nu, *_ = stage_spectrum(plan, state, lq, window=window, chunk=256)
+        surface = f_nu[-1]
+        return surface / surface.mean()  # continuum-normalized shape
+
+    true_scale = 1.021  # "unknown" star: ~120 K hotter than the start
+    observed = spectrum(true_scale)
+
+    @jax.jit
+    def loss_and_grad(scale):
+        def loss(s):
+            return jnp.mean((spectrum(s) - observed) ** 2)
+
+        return jax.value_and_grad(loss)(scale)
+
+    scale = jnp.asarray(1.0)
+    m = v = 0.0
+    lr, b1, b2 = 3e-2, 0.9, 0.999
+    print(f"target scale {true_scale:.4f} "
+          f"(Teff ~ {5777 * true_scale:.0f} K); start 1.0000")
+    for i in range(40):
+        val, g = loss_and_grad(scale)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mhat = m / (1 - b1 ** (i + 1))
+        vhat = v / (1 - b2 ** (i + 1))
+        scale = scale - lr * mhat / (jnp.sqrt(vhat) + 1e-12)
+        if i % 5 == 0 or i == 39:
+            print(f"  iter {i:3d}: loss {float(val):.3e} "
+                  f"scale {float(scale):.5f}")
+
+    err = abs(float(scale) - true_scale)
+    print(f"recovered scale {float(scale):.5f} "
+          f"(Teff ~ {5777 * float(scale):.0f} K), |error| = {err:.1e}")
+    assert err < 2e-3, "gradient fit failed to converge"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

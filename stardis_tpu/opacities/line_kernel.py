@@ -886,12 +886,7 @@ def accumulate_line_opacity_blocked(
             w >= PANELIZE_MIN_WINDOW
             and blocked.core_half
             and center_idx_host is not None
-            and 4 * blocked.core_half <= w
         ):
-            # split wide scatter tier (wide grids): same two exact passes
-            # as the split dense path, but panelized at the window scale —
-            # full-Voigt cores within +-core_half, region-I far wings out
-            # to the true window, no scatter rows
             from stardis_tpu.opacities.voigt import voigt_profile_region1
 
             ch = blocked.core_half
@@ -901,22 +896,38 @@ def accumulate_line_opacity_blocked(
                 window_mode=window_mode,
                 eps_b=eps_b, per_depth_eps=per_depth_eps,
             )
-            acc = _accumulate_panelized(
-                tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                panel=split_panel(ch),
-                phi_fn=voigt_profile,
-                off_mask_fn=lambda off, _ch=ch: jnp.abs(off) < _ch,
-                acc=acc, **common,
-            )
-            acc = _accumulate_panelized(
-                tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                panel=int(np.ceil((w // 2) / 128.0) * 128),
-                phi_fn=voigt_profile_region1,
-                off_mask_fn=lambda off, _ch=ch: jnp.abs(off) >= _ch,
-                acc=acc, **common,
-            )
+            if 4 * ch <= w:
+                # split wide scatter tier (wide grids): same two exact
+                # passes as the split dense path, but panelized at the
+                # window scale — full-Voigt cores within +-core_half,
+                # region-I far wings out to the true window, no scatter
+                acc = _accumulate_panelized(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                    panel=split_panel(ch),
+                    phi_fn=voigt_profile,
+                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) < _ch,
+                    acc=acc, **common,
+                )
+                acc = _accumulate_panelized(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                    panel=int(np.ceil((w // 2) / 128.0) * 128),
+                    phi_fn=voigt_profile_region1,
+                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) >= _ch,
+                    acc=acc, **common,
+                )
+            else:
+                # core-dominated window: one panelized full-Voigt pass
+                # (still removes the scatter rows; 3*panel evals/pair)
+                acc = _accumulate_panelized(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                    panel=int(np.ceil(max(w // 2, 128) / 128.0) * 128),
+                    phi_fn=voigt_profile,
+                    off_mask_fn=lambda off: jnp.ones(off.shape, bool),
+                    acc=acc, **common,
+                )
             continue
         c = chunk
         if c is None:

@@ -380,3 +380,56 @@ def test_panelized_wide_scatter_tier_matches_plain():
     np.testing.assert_allclose(
         np.asarray(panelized), np.asarray(plain), rtol=1e-12, atol=1e-300
     )
+
+
+def test_panelized_core_dominated_tier_matches_plain():
+    """When 4*core_half > window the panelized path takes a single
+    full-Voigt pass (no wing split); it must still agree with the plain
+    scatter path to f64 rounding."""
+    from stardis_tpu.opacities.line_kernel import (
+        accumulate_line_opacity_blocked,
+        assign_window_tiers_blocked,
+        is_dense_tier,
+    )
+
+    rng = np.random.default_rng(5)
+    n_nu = 131328  # > 64 * 2048: the 2048 tier stays scatter
+    n_lines, n_depth = 10, 8
+    nus = np.linspace(4.6e14, 4.5e14, n_nu)
+    d_nu = grid_min_step(nus)
+    line_nu = rng.uniform(nus.min() + 300 * d_nu, nus.max() - 300 * d_nu,
+                          n_lines)
+    # wide doppler -> large core_half; window still in the 2048 tier
+    doppler = np.full((n_lines, n_depth), 40.0 * d_nu)
+    gamma = np.full((n_lines, n_depth), 5.0 * d_nu)
+    alpha = rng.uniform(0.8, 1.0, (n_lines, n_depth))  # win ~ 720-900 px
+    centers = line_center_indices(nus, line_nu)
+    win = np.asarray(
+        window_pixels(jnp.asarray(alpha), jnp.asarray(gamma),
+                      jnp.asarray(doppler), d_nu)
+    )
+    blocked = assign_window_tiers_blocked(win, n_nu, block=4)
+    tier_ws = [w for *_x, w in blocked.tiers]
+    assert any(w == 2048 and not is_dense_tier(w, n_nu) for w in tier_ws)
+    blocked.core_half = int(np.ceil(15.5 * doppler.max() / d_nu)) + 2
+    assert 4 * blocked.core_half > 2048  # forces the single-pass branch
+
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    panelized = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=8,
+        center_idx_host=centers,
+    )
+    plain = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=8,
+        center_idx_host=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(panelized), np.asarray(plain), rtol=1e-12, atol=1e-300
+    )
