@@ -105,13 +105,18 @@ def tier_histogram(window):
 
 
 def voigt_flops(window, n_depth, n_nu):
-    """(evals, flops) per pipeline execution, from the tier plan.  Dense
-    tiers do n_nu evals/pair; with a core_half set they split into
-    region-I wings (cheap) + 3-panel full-Voigt cores."""
+    """(evals, flops) per pipeline execution, from the tier plan.
+    Panelized tiers (window <= grid/4) do 3-panel dense evals per pair
+    (full-Voigt cores + region-I wings when split); grid-scale tiers run
+    dense/split-dense full-grid evals."""
     from stardis_tpu.opacities.line_kernel import (
         is_dense_tier,
         split_panel,
+        use_panelized,
     )
+
+    def ceil128(x):
+        return int(np.ceil(max(x, 128) / 128.0) * 128)
 
     total_evals = 0
     total_flops = 0.0
@@ -121,7 +126,20 @@ def voigt_flops(window, n_depth, n_nu):
             panel = split_panel(ch) if ch else 0
             split = bool(ch) and n_nu >= 4 * panel
             for n, w in tiers.histogram():
-                if is_dense_tier(w, n_nu):
+                if use_panelized(w, n_nu) and ch:
+                    if 4 * ch <= w:
+                        core = n * tiers.block * 3 * panel
+                        wing = n * tiers.block * 3 * ceil128(w // 2)
+                        total_evals += core + wing
+                        total_flops += (
+                            core * FLOPS_PER_VOIGT_EVAL
+                            + wing * FLOPS_PER_WING_EVAL
+                        )
+                    else:
+                        e = n * tiers.block * 3 * ceil128(w // 2)
+                        total_evals += e
+                        total_flops += e * FLOPS_PER_VOIGT_EVAL
+                elif is_dense_tier(w, n_nu):
                     if split:
                         wing = n * tiers.block * n_nu
                         core = n * tiers.block * 3 * panel

@@ -98,11 +98,19 @@ TIER_WINDOWS = (128, 512, 2048, 8192)
 # 100k-line Sim100AA workload; the 128-pixel bulk tier stays scatter).
 DENSE_WINDOW_FRACTION = 64
 
-# Scatter tiers at least this wide are split+panelized instead (wide grids
-# only — on narrower grids they are dense-promoted first): full-Voigt cores
-# in small panels + region-I far wings in window-wide panels, both via
-# dynamic 3-panel slice updates, removing the scatter entirely.
-PANELIZE_MIN_WINDOW = 1024
+# Tiers whose window is at most 1/PANELIZE_MAX_FRACTION of the grid are
+# split+panelized when host center indices are available: full-Voigt cores
+# in small panels (+ region-I far wings in window-wide panels when the
+# window exceeds the core), via dynamic 3-panel slice updates grouped by
+# center panel — no scatter rows at all.  Above the fraction, the dense /
+# split-dense full-grid paths win.  (A two-slot WIDE-row scatter variant
+# was measured and removed: XLA scatter-add throughput is payload-bound at
+# ~1.5 GB/s regardless of row shape — see docs/performance.md.)
+PANELIZE_MAX_FRACTION = 4
+
+
+def use_panelized(window, n_nu):
+    return PANELIZE_MAX_FRACTION * window <= n_nu
 
 
 def is_dense_tier(window, n_nu):
@@ -536,12 +544,25 @@ def _accumulate_panelized(
     n_panels = -(-n_nu // panel)
     centers_pair = np.asarray(center_idx_host)[line_idx]
     panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
+    counts = np.bincount(panel_of, minlength=n_panels)
+    nonzero = counts[counts > 0]
 
     c = chunk
     if c is None:
-        c = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
-        c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
-        c = -(-c // 8) * 8
+        c_mem = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
+        c_mem = max(32, (c_mem // 8) * 8)
+        # match the chunk size to the panel-group size distribution: each
+        # group pads to a multiple of c, so c far above the typical group
+        # size multiplies the eval count (measured 7-27x waste on the
+        # Sim100AA bulk tier when c came from the memory budget alone)
+        c_grp = int(np.percentile(nonzero, 75)) if len(nonzero) else 8
+        c_grp = -(-c_grp // 8) * 8
+        c = max(8, min(c_mem, c_grp))
+        # keep the scan under ~4096 iterations (TPU runtime faults on
+        # multi-10k-trip scans); one chunk per non-empty group is the floor
+        budget = max(1, 4096 - len(nonzero))
+        c_min_iter = -(-int(n_pairs) // budget)
+        c = max(c, -(-c_min_iter // 8) * 8)
     c = int(min(c, max(8, n_pairs)))
 
     li_chunks, off_chunks = [], []
@@ -832,6 +853,53 @@ def accumulate_line_opacity_blocked(
         n_pairs = len(line_idx)
         if n_pairs == 0:
             continue
+        if (
+            use_panelized(w, n_nu)
+            and blocked.core_half
+            and center_idx_host is not None
+        ):
+            from stardis_tpu.opacities.voigt import voigt_profile_region1
+
+            ch = blocked.core_half
+            common = dict(
+                blk=blk, n_blocks=n_blocks, d_nu=d_nu, chunk=chunk,
+                memory_budget_bytes=memory_budget_bytes,
+                window_mode=window_mode,
+                eps_b=eps_b, per_depth_eps=per_depth_eps,
+            )
+            if 4 * ch <= w:
+                # split tier: same two exact passes as the split dense
+                # path, panelized at the window scale — full-Voigt cores
+                # within +-core_half, region-I far wings out to the true
+                # window, no scatter rows
+                acc = _accumulate_panelized(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                    panel=split_panel(ch),
+                    phi_fn=voigt_profile,
+                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) < _ch,
+                    acc=acc, **common,
+                )
+                acc = _accumulate_panelized(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                    panel=int(np.ceil((w // 2) / 128.0) * 128),
+                    phi_fn=voigt_profile_region1,
+                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) >= _ch,
+                    acc=acc, **common,
+                )
+            else:
+                # core-dominated window: one panelized full-Voigt pass
+                # (still removes the scatter rows; 3*panel evals/pair)
+                acc = _accumulate_panelized(
+                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
+                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
+                    panel=int(np.ceil(max(w // 2, 128) / 128.0) * 128),
+                    phi_fn=voigt_profile,
+                    off_mask_fn=lambda off: jnp.ones(off.shape, bool),
+                    acc=acc, **common,
+                )
+            continue
         if is_dense_tier(w, n_nu):
             core_half = blocked.core_half
             if split_enabled(core_half, center_idx_host, n_nu):
@@ -880,53 +948,6 @@ def accumulate_line_opacity_blocked(
                     .at[:, j, :]
                     .add(dense.T)
                     .reshape(n_nu * n_blocks, blk)
-                )
-            continue
-        if (
-            w >= PANELIZE_MIN_WINDOW
-            and blocked.core_half
-            and center_idx_host is not None
-        ):
-            from stardis_tpu.opacities.voigt import voigt_profile_region1
-
-            ch = blocked.core_half
-            common = dict(
-                blk=blk, n_blocks=n_blocks, d_nu=d_nu, chunk=chunk,
-                memory_budget_bytes=memory_budget_bytes,
-                window_mode=window_mode,
-                eps_b=eps_b, per_depth_eps=per_depth_eps,
-            )
-            if 4 * ch <= w:
-                # split wide scatter tier (wide grids): same two exact
-                # passes as the split dense path, but panelized at the
-                # window scale — full-Voigt cores within +-core_half,
-                # region-I far wings out to the true window, no scatter
-                acc = _accumulate_panelized(
-                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                    panel=split_panel(ch),
-                    phi_fn=voigt_profile,
-                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) < _ch,
-                    acc=acc, **common,
-                )
-                acc = _accumulate_panelized(
-                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                    panel=int(np.ceil((w // 2) / 128.0) * 128),
-                    phi_fn=voigt_profile_region1,
-                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) >= _ch,
-                    acc=acc, **common,
-                )
-            else:
-                # core-dominated window: one panelized full-Voigt pass
-                # (still removes the scatter rows; 3*panel evals/pair)
-                acc = _accumulate_panelized(
-                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                    panel=int(np.ceil(max(w // 2, 128) / 128.0) * 128),
-                    phi_fn=voigt_profile,
-                    off_mask_fn=lambda off: jnp.ones(off.shape, bool),
-                    acc=acc, **common,
                 )
             continue
         c = chunk

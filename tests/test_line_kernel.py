@@ -330,10 +330,10 @@ def test_panelized_wide_scatter_tier_matches_plain():
     slice updates); it must agree with the plain scatter path to f64
     rounding — the same exactness bar as the split dense path."""
     from stardis_tpu.opacities.line_kernel import (
-        PANELIZE_MIN_WINDOW,
         accumulate_line_opacity_blocked,
         assign_window_tiers_blocked,
         is_dense_tier,
+        use_panelized,
     )
 
     rng = np.random.default_rng(3)
@@ -355,9 +355,9 @@ def test_panelized_wide_scatter_tier_matches_plain():
     blocked = assign_window_tiers_blocked(win, n_nu, block=4)
     tier_ws = [w for *_x, w in blocked.tiers]
     assert any(
-        w >= PANELIZE_MIN_WINDOW and not is_dense_tier(w, n_nu)
+        use_panelized(w, n_nu) and not is_dense_tier(w, n_nu)
         for w in tier_ws
-    ), f"setup must produce a wide scatter tier, got {tier_ws}"
+    ), f"setup must produce a panelized tier, got {tier_ws}"
     blocked.core_half = int(np.ceil(15.5 * doppler.max() / d_nu)) + 2
     assert 4 * blocked.core_half <= max(tier_ws)
 
@@ -369,16 +369,18 @@ def test_panelized_wide_scatter_tier_matches_plain():
         jnp.asarray(gamma),
         jnp.asarray(doppler),
     )
-    panelized = accumulate_line_opacity_blocked(
+    blocked_out = accumulate_line_opacity_blocked(
         *args, blocked=blocked, d_nu=d_nu, chunk=8,
         center_idx_host=centers,
     )
-    plain = accumulate_line_opacity_blocked(
-        *args, blocked=blocked, d_nu=d_nu, chunk=8,
-        center_idx_host=None,
+    # independent reference: the per-line single-window SCATTER kernel
+    # (window=2048 stays scatter at this grid size)
+    single = accumulate_line_opacity(
+        *args, window=2048, d_nu=d_nu, chunk=8
     )
     np.testing.assert_allclose(
-        np.asarray(panelized), np.asarray(plain), rtol=1e-12, atol=1e-300
+        np.asarray(blocked_out), np.asarray(single), rtol=1e-12,
+        atol=1e-300
     )
 
 
@@ -422,14 +424,14 @@ def test_panelized_core_dominated_tier_matches_plain():
         jnp.asarray(gamma),
         jnp.asarray(doppler),
     )
-    panelized = accumulate_line_opacity_blocked(
+    blocked_out = accumulate_line_opacity_blocked(
         *args, blocked=blocked, d_nu=d_nu, chunk=8,
         center_idx_host=centers,
     )
-    plain = accumulate_line_opacity_blocked(
-        *args, blocked=blocked, d_nu=d_nu, chunk=8,
-        center_idx_host=None,
+    single = accumulate_line_opacity(
+        *args, window=2048, d_nu=d_nu, chunk=8
     )
     np.testing.assert_allclose(
-        np.asarray(panelized), np.asarray(plain), rtol=1e-12, atol=1e-300
+        np.asarray(blocked_out), np.asarray(single), rtol=1e-12,
+        atol=1e-300
     )
