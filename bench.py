@@ -286,7 +286,10 @@ def main():
         "metric": "sim100aa_dense_grid_cells_per_s",
         "value": round(cells_per_s, 1),
         "unit": "(lambda*depth) cells/s; wall %.3fs; %d lines (%.0f lines/s); "
-        "%.2e voigt evals -> %.2e FLOP/s est = %.1f%% of v5e VPU f32 peak; "
+        "%.2e voigt evals -> %.2e FLOP/s by the no-hoisting 260-FLOP/eval "
+        "model = %.1f%% of v5e VPU f32 peak (an UPPER-bound FLOP model: XLA "
+        "hoists width-dependent subexpressions per row; calibration in "
+        "docs/performance.md); "
         "tiers %s; %s%s%s; vs_baseline is a LOWER BOUND (asv 1800s-cap floor)"
         % (
             wall,
