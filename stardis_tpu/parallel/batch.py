@@ -41,6 +41,12 @@ class BatchInputs:
     # plane-parallel batches (reference applies it per model at
     # radiation_field_solvers/base.py:340-344)
     photospheric_correction: np.ndarray | None = None  # [B]
+    # per-model tabulated-opacity sigma tables (one [B, D, N] array per
+    # plan.file_sources entry, same order), or None when the plan has no
+    # file sources — the tables depend on each model's temperatures, so
+    # the template plan's baked sigmas would silently be wrong for any
+    # member whose temperature structure differs
+    file_sigmas: tuple | None = None
 
 
 def make_batch(config, atom_data, stellar_models, tracing_nus_hz,
@@ -85,6 +91,25 @@ def collect_batch_inputs(config, stellar_models, plan,
             rays.append(
                 (np.diff(r)[:, None] / np.cos(thetas)[None, :]).astype(dtype)
             )
+    file_sigmas = None
+    if plan.file_sources:
+        from stardis_tpu.opacities.file_tables import sigma_file
+
+        lambdas_aa = 2.99792458e18 / plan.tracing_nus
+        file_cfg = config.opacity.file
+        per_source = []
+        for name, _sig, _dplan in plan.file_sources:
+            per_source.append(
+                np.stack(
+                    [
+                        sigma_file(
+                            lambdas_aa, t, file_cfg[name], name
+                        ).astype(dtype)
+                        for t in temps
+                    ]
+                )
+            )  # [B, D, N]
+        file_sigmas = tuple(per_source)
     return BatchInputs(
         temperatures=np.stack(temps),
         n_elem=np.stack(n_elem),
@@ -92,6 +117,7 @@ def collect_batch_inputs(config, stellar_models, plan,
         photospheric_correction=(
             np.asarray(corrs, dtype=dtype) if corrs else None
         ),
+        file_sigmas=file_sigmas,
     )
 
 
@@ -148,9 +174,17 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     temps = jnp.asarray(batch.temperatures)
     n_elem = jnp.asarray(batch.n_elem)
     rays = jnp.asarray(batch.ray_distances)
-    spherical = batch.photospheric_correction is not None
+    # plane-parallel members get a neutral correction of 1 so the vmapped
+    # stage has one signature either way
     corr = (
-        jnp.asarray(batch.photospheric_correction) if spherical else None
+        jnp.asarray(batch.photospheric_correction)
+        if batch.photospheric_correction is not None
+        else jnp.ones(temps.shape[0], dtype=temps.dtype)
+    )
+    sigmas = (
+        tuple(jnp.asarray(s) for s in batch.file_sigmas)
+        if batch.file_sigmas
+        else ()
     )
 
     if mesh is not None:
@@ -158,8 +192,8 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
         temps = jax.device_put(temps, sharding)
         n_elem = jax.device_put(n_elem, sharding)
         rays = jax.device_put(rays, sharding)
-        if spherical:
-            corr = jax.device_put(corr, sharding)
+        corr = jax.device_put(corr, sharding)
+        sigmas = tuple(jax.device_put(s, sharding) for s in sigmas)
 
     key1 = id(plan)
     stage1 = _STAGE1_CACHE.get(key1)
@@ -224,32 +258,22 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     key2 = (
         id(plan),
         chunk,
-        spherical,
+        len(sigmas),
         _window_fingerprint(window) if isinstance(window, dict) else window,
     )
     stage2 = _STAGE2_CACHE.get(key2)
     if stage2 is None:
-        if spherical:
 
-            def one(s, q, rd, pc):
-                f_nu, *_ = stage_spectrum(
-                    plan, s, q, window=window, chunk=chunk,
-                    ray_distances=rd, photospheric_correction=pc,
-                )
-                return f_nu
-
-        else:
-
-            def one(s, q, rd):
-                f_nu, *_ = stage_spectrum(
-                    plan, s, q, window=window, chunk=chunk, ray_distances=rd
-                )
-                return f_nu
+        def one(s, q, rd, pc, sg):
+            f_nu, *_ = stage_spectrum(
+                plan, s, q, window=window, chunk=chunk,
+                ray_distances=rd, photospheric_correction=pc,
+                file_sigma_override=sg if sg else None,
+            )
+            return f_nu
 
         stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(jax.vmap(one)))
-    if spherical:
-        return stage2(state, lq, rays, corr)
-    return stage2(state, lq, rays)
+    return stage2(state, lq, rays, corr, sigmas)
 
 
 def make_batch_mesh(n_devices=None, devices=None):

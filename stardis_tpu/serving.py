@@ -27,9 +27,9 @@ Limitations (documented, checked at request time):
 * tabulated file opacities (``opacity.file``): single-request serving
   re-interpolates the [D, N] sigma tables host-side whenever a request's
   temperatures differ from the plan's (milliseconds, counted in
-  ``stats.sigma_reinterp_events``); only the BATCH path still rejects
-  drift beyond ``file_opacity_rtol`` (per-model sigma tables are not
-  threaded through the vmapped stage);
+  ``stats.sigma_reinterp_events``); the batch path computes per-model
+  [B, D, N] tables in ``collect_batch_inputs`` and threads them through
+  the vmapped stage;
 * microturbulence and spherical geometry are baked per service instance.
 """
 
@@ -383,10 +383,11 @@ class SpectralService:
         content) hits on repeated batches of the same shape.
 
         Every model is held to the same request-compatibility guards as
-        ``synthesize`` (microturbulence, geometry kind, file-opacity
-        interpolation temperatures are baked into the cached batch plan);
-        the per-model spherical flux correction is threaded through
-        ``run_batch`` itself."""
+        ``synthesize`` (microturbulence and geometry kind are baked into
+        the cached batch plan); per-model spherical flux corrections AND
+        per-model file-opacity sigma tables are threaded through
+        ``run_batch`` itself, so temperature structures may differ freely
+        across the batch."""
         from stardis_tpu.parallel.batch import (
             collect_batch_inputs,
             make_batch,
@@ -406,7 +407,10 @@ class SpectralService:
                 dtype=self._dtype,
             )
         for i, model in enumerate(stellar_models):
-            self._check_request(model, self._batch_plan, label=f"batch model {i}")
+            self._check_request(
+                model, self._batch_plan, label=f"batch model {i}",
+                reject_file_drift=False,
+            )
         self.stats.requests += len(stellar_models)
         return np.asarray(
             run_batch(self._batch_plan, batch, chunk=self._chunk)

@@ -435,3 +435,58 @@ def test_panelized_core_dominated_tier_matches_plain():
         np.asarray(blocked_out), np.asarray(single), rtol=1e-12,
         atol=1e-300
     )
+
+
+def test_panelized_accuracy_mode_matches_single_window():
+    """Accuracy window mode through the panelized tiers (grid large enough
+    that 128/512 tiers panelize) must equal the single-window scatter
+    kernel run in the same mode — the in-kernel accuracy mask decides
+    contributions identically on every path."""
+    from stardis_tpu.opacities.line_kernel import (
+        accumulate_line_opacity_blocked,
+        assign_window_tiers_blocked,
+        split_core_half,
+        use_panelized,
+        window_pixels_accuracy,
+    )
+
+    nus, line_nu, alpha, gamma, doppler = _random_setup(
+        n_lines=60, n_depth=10, n_nu=4096, strong=True
+    )
+    d_nu = grid_min_step(nus)
+    centers = line_center_indices(nus, line_nu)
+    eps = np.full((1, 10), 1e-9)
+    win = np.asarray(
+        window_pixels_accuracy(
+            jnp.asarray(alpha), jnp.asarray(gamma), jnp.asarray(doppler),
+            d_nu, epsilon=jnp.asarray(eps),
+        )
+    )
+    blocked = assign_window_tiers_blocked(win, len(nus), block=4)
+    blocked.core_half = split_core_half(float(doppler.max()), d_nu)
+    assert any(
+        use_panelized(w, len(nus)) for *_x, w in blocked.tiers
+    ), blocked.histogram()
+
+    args = (
+        jnp.asarray(nus),
+        jnp.asarray(line_nu),
+        jnp.asarray(centers),
+        jnp.asarray(alpha),
+        jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    blocked_out = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=None,
+        window_mode="accuracy", window_epsilon=jnp.asarray(eps),
+        center_idx_host=centers,
+    )
+    full = int(np.ceil(2 * len(nus) / 128.0) * 128)
+    single = accumulate_line_opacity(
+        *args, window=full, d_nu=d_nu, chunk=32,
+        window_mode="accuracy", window_epsilon=jnp.asarray(eps),
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocked_out), np.asarray(single), rtol=1e-12,
+        atol=1e-300
+    )

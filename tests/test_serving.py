@@ -160,12 +160,18 @@ def test_service_reinterpolates_file_opacity_on_temp_drift(tmp_path):
         served["spectrum_nu"], np.asarray(ref.spectrum_nu), rtol=1e-8
     )
 
-    # the BATCH path still rejects drift (per-model sigmas are not
-    # threaded through the vmapped stage)
-    with pytest.raises(ValueError, match="temperatures"):
-        svc.synthesize_batch(
-            [_model_for(str(cfg), sun), _model_for(str(cfg), hot)]
-        )
+    # the BATCH path computes per-model sigma tables: a mixed-temperature
+    # batch must reproduce the per-model single-request spectra
+    f_batch = svc.synthesize_batch(
+        [_model_for(str(cfg), sun), _model_for(str(cfg), hot)]
+    )
+    served_sun = svc.synthesize(_model_for(str(cfg), sun))
+    np.testing.assert_allclose(
+        f_batch[0, -1], served_sun["spectrum_nu"], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        f_batch[1, -1], served["spectrum_nu"], rtol=1e-8
+    )
 
 
 def test_service_batch(service_setup):
