@@ -1053,9 +1053,14 @@ def accumulate_pairs_blocked(
     nb_range = jnp.arange(n_blocks)
     cols = jnp.arange(n_nu)
 
+    # scan carries must inherit the varying manual axes of EVERY
+    # contributor under shard_map: the grid varies over 'nu', and on the
+    # 2-D batch x nu mesh the line quantities additionally vary over
+    # 'batch' (vmapped state) — seed the accumulator with both
+    var0 = (alpha.reshape(-1)[0] * 0.0).astype(dtype)
     acc = jnp.zeros((n_nu, n_blocks, blk), dtype=dtype) + (
         tracing_nus_desc[:, None, None] * 0.0
-    ).astype(dtype)
+    ).astype(dtype) + var0
     acc = acc.reshape(n_nu * n_blocks, blk)
 
     for li, bi, live, w in pair_tiers:
@@ -1122,7 +1127,7 @@ def accumulate_pairs_blocked(
 
             carry0 = jnp.zeros((blk, n_nu, n_blocks), dtype=dtype) + (
                 tracing_nus_desc[None, :, None] * 0.0
-            ).astype(dtype)
+            ).astype(dtype) + var0
             chunks = tuple(
                 x.reshape((n_chunks, c) + x.shape[1:])
                 for x in (p_nu, p_center, p_alpha, p_gamma, p_doppler,

@@ -255,24 +255,42 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
     else:
         window = 0
 
+    mesh_key = (
+        (tuple(mesh.axis_names), tuple(np.shape(mesh.devices)))
+        if mesh is not None
+        else None
+    )
     key2 = (
         id(plan),
         chunk,
         len(sigmas),
+        mesh_key,
         _window_fingerprint(window) if isinstance(window, dict) else window,
     )
     stage2 = _STAGE2_CACHE.get(key2)
     if stage2 is None:
+        if mesh is not None and "nu" in mesh.axis_names:
+            # 2-D batch x nu mesh: every device owns one (model-chunk,
+            # wavelength-chunk) tile (DP x the sequence-parallel analogue)
+            from stardis_tpu.parallel.sharding import shard_batch_spectrum
 
-        def one(s, q, rd, pc, sg):
-            f_nu, *_ = stage_spectrum(
-                plan, s, q, window=window, chunk=chunk,
-                ray_distances=rd, photospheric_correction=pc,
-                file_sigma_override=sg if sg else None,
-            )
-            return f_nu
+            def two_d(s, q, rd, pc, sg):
+                return shard_batch_spectrum(
+                    plan, s, q, window, mesh, rd, pc, sg, chunk=chunk
+                )
 
-        stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(jax.vmap(one)))
+            stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(two_d))
+        else:
+
+            def one(s, q, rd, pc, sg):
+                f_nu, *_ = stage_spectrum(
+                    plan, s, q, window=window, chunk=chunk,
+                    ray_distances=rd, photospheric_correction=pc,
+                    file_sigma_override=sg if sg else None,
+                )
+                return f_nu
+
+            stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(jax.vmap(one)))
     return stage2(state, lq, rays, corr, sigmas)
 
 

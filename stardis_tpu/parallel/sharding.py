@@ -164,6 +164,192 @@ def shard_eval_stats(window, centers_by_key, n_depth, n_nu_global, ndev):
     return stats
 
 
+def make_batch_nu_mesh(n_batch, n_nu, devices=None):
+    """2-D mesh: atmospheres data-parallel over 'batch', the wavelength
+    grid sharded over 'nu' (the DP x SP composition; SURVEY.md §7.3's
+    optional second mesh axis)."""
+    if devices is None:
+        devices = jax.devices()[: n_batch * n_nu]
+    return Mesh(
+        np.asarray(devices).reshape(n_batch, n_nu), ("batch", "nu")
+    )
+
+
+def shard_batch_spectrum(
+    plan: SimulationPlan,
+    state_b,  # LTE state pytree with a leading [B] batch axis
+    lq_b,  # line-quantity triples with leading [B]
+    window,  # dict of BlockedTiers / tier lists (batch-max assignment)
+    mesh: Mesh,  # 2-D mesh with ("batch", "nu") axes
+    rays_b,  # [B, G, T]
+    corr_b,  # [B] photospheric corrections (ones for plane-parallel)
+    sigmas_b=(),  # tuple of [B, D, N] per plan.file_sources entry
+    chunk: int | None = None,
+):
+    """2-D sharded batch synthesis: every device owns one (model-chunk,
+    wavelength-chunk) tile.  Batch members are embarrassingly parallel
+    (vmap inside the shard); the nu axis reuses the host-side bucketed
+    line pairs, so the partition over (model, line, depth, pixel) is
+    exact and collective-free.  Returns F_nu [B, D, N] sharded
+    P("batch", None, "nu").
+    """
+    if plan.track_individual_intensities:
+        raise NotImplementedError(
+            "per-angle intensity tracking is not supported on the 2-D "
+            "batch x nu mesh; use the 1-D paths"
+        )
+    ndev_nu = mesh.shape["nu"]
+    ndev_batch = mesh.shape["batch"]
+    n_batch = int(rays_b.shape[0])
+    if n_batch % ndev_batch:
+        raise ValueError(
+            f"batch size {n_batch} must divide the mesh batch axis "
+            f"({ndev_batch})"
+        )
+    nus_padded, pad = _pad_to_multiple(plan.tracing_nus, ndev_nu)
+    n_padded = len(nus_padded)
+    per_shard = n_padded // ndev_nu
+    dtype = jnp.asarray(rays_b).dtype
+
+    if plan.file_sources:
+        if len(sigmas_b) != len(plan.file_sources):
+            raise ValueError(
+                "shard_batch_spectrum needs per-model sigma tables for "
+                "every file source (collect_batch_inputs builds them)"
+            )
+        def _pad_sig_b(sig):
+            # may be traced (run_batch jits the wrapper): jnp.pad only
+            sig = jnp.asarray(sig, dtype=dtype)
+            p = (-sig.shape[2]) % ndev_nu
+            if p:
+                sig = jnp.pad(sig, ((0, 0), (0, 0), (0, p)), mode="edge")
+            return sig
+
+        sigmas_b = tuple(_pad_sig_b(s) for s in sigmas_b)
+
+    # per-model accuracy epsilon on the FULL grid (outside the mesh so
+    # every nu shard masks with identical values)
+    if plan.window_mode == "accuracy":
+        from stardis_tpu.pipeline import accuracy_epsilon
+
+        eps_b = jax.vmap(lambda s: accuracy_epsilon(plan, s))(state_b)
+    else:
+        eps_b = jnp.zeros((n_batch, len(plan.temperatures)), dtype=dtype)
+
+    nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
+    line_sets = {}
+    centers_host = {}
+    if lq_b:
+        if "atomic" in lq_b:
+            centers_host["atomic"] = line_center_indices(
+                nus_padded, plan.line_data.nu
+            )
+            line_sets["atomic"] = (
+                jnp.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
+                jnp.asarray(centers_host["atomic"]),
+            )
+        if "molecular" in lq_b:
+            centers_host["molecular"] = line_center_indices(
+                nus_padded, plan.molecule_line_data.nu
+            )
+            line_sets["molecular"] = (
+                jnp.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
+                jnp.asarray(centers_host["molecular"]),
+            )
+
+    nu_full = jnp.asarray(nus_padded, dtype=dtype)
+    nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
+
+    n_depth = len(plan.temperatures)
+    pair_args = {}
+    pair_meta = {}
+    for key in line_sets:
+        spec = window[key]
+        if not isinstance(spec, (BlockedTiers, list, tuple)):
+            raise ValueError("the 2-D mesh path needs tiered windows")
+        tiers, blk, n_blocks = bucket_pairs_per_shard(
+            spec, centers_host[key], n_depth, n_padded, ndev_nu, per_shard
+        )
+        pair_args[key] = [
+            (jnp.asarray(li), jnp.asarray(bi), jnp.asarray(lv))
+            for li, bi, lv, _w in tiers
+        ]
+        pair_meta[key] = ([w for *_x, w in tiers], blk, n_blocks)
+
+    accuracy = plan.window_mode == "accuracy"
+
+    def shard_fn(state_l, lq_l, rays_l, corr_l, eps_l, sigma_l, pair_rep):
+        offset = jax.lax.axis_index("nu") * per_shard
+        nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_shard,))
+        nus_local_centered = jax.lax.dynamic_slice(
+            nu_full_centered, (offset,), (per_shard,)
+        )
+        tiers_local = {
+            key: [
+                (li[0], bi[0], lv[0])
+                for (li, bi, lv) in pair_rep[key]
+            ]
+            for key in pair_rep
+        }
+
+        def one(s, q, rd, pc, ep, sg):
+            opac = compute_continuum(
+                plan, s, nus_local,
+                # per-model sigma tables arrive pre-sliced by shard_map;
+                # the plan's baked tables (no-file-source case) are absent
+                nu_offset=None if sg else offset,
+                file_sigma_override=sg if sg else None,
+            )
+            total = None
+            for _k, val in opac.items():
+                total = val if total is None else total + val
+            eps = ep[None, :] if accuracy else plan.window_epsilon
+            for key, (alpha, gamma, doppler) in (q or {}).items():
+                line_nu_dev, centers_dev = line_sets[key]
+                ws, blk, n_blocks = pair_meta[key]
+                alpha_line = accumulate_pairs_blocked(
+                    nus_local_centered, line_nu_dev, centers_dev - offset,
+                    alpha, gamma, doppler,
+                    [
+                        (li, bi, lv, w)
+                        for (li, bi, lv), w in zip(tiers_local[key], ws)
+                    ],
+                    blk=blk, n_blocks=n_blocks,
+                    d_nu=plan.d_nu, chunk=chunk,
+                    window_mode=plan.window_mode, window_epsilon=eps,
+                )
+                total = total + alpha_line
+            source = blackbody_flux_at_nu(nus_local, s.t)
+            f_nu, _ = raytrace(
+                total, source, rd,
+                jnp.asarray(plan.weights, dtype=dtype),
+                inward_rays=plan.inward_rays,
+                photospheric_correction=pc,
+            )
+            return f_nu
+
+        return jax.vmap(one)(
+            state_l, lq_l, rays_l, corr_l, eps_l, sigma_l
+        )  # [B_local, D, n_local]
+
+    smapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P("batch"), P("batch"), P("batch"), P("batch"), P("batch"),
+            P("batch", None, "nu"), P("nu"),
+        ),
+        out_specs=P("batch", None, "nu"),
+    )
+    f_nu = smapped(
+        state_b, lq_b, jnp.asarray(rays_b, dtype=dtype),
+        jnp.asarray(corr_b, dtype=dtype), eps_b, sigmas_b, pair_args,
+    )
+    if pad:
+        f_nu = f_nu[:, :, : len(plan.tracing_nus)]
+    return f_nu
+
+
 def shard_spectrum(
     plan: SimulationPlan,
     state,

@@ -162,3 +162,41 @@ def test_batch_rejects_mixed_geometry(spherical_grid_setup, tmp_path):
     )
     with pytest.raises(ValueError, match="geometry"):
         make_batch(config, adata, [models[0], pp_model], nus)
+
+
+def test_batch_2d_mesh_matches_plain(teff_grid_setup):
+    """2-D (batch x nu) mesh: every device owns one (model-chunk,
+    wavelength-chunk) tile; must reproduce the unsharded batch to 1e-10."""
+    from stardis_tpu.parallel.sharding import make_batch_nu_mesh
+
+    config, adata, models, nus, _ = teff_grid_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    plan, batch = make_batch(config, adata, models, nus)
+    f_plain = np.asarray(run_batch(plan, batch))
+    mesh = make_batch_nu_mesh(2, 4)
+    f_2d = run_batch(plan, batch, mesh=mesh)
+    assert len(f_2d.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(f_2d), f_plain, rtol=1e-10, atol=0)
+
+
+def test_spherical_batch_2d_mesh(spherical_grid_setup, tmp_path):
+    """Spherical batch on the 2-D mesh keeps per-model corrections; an
+    extra member makes the batch divisible by the mesh batch axis."""
+    from stardis_tpu.io.marcs import read_marcs_model
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.parallel.sharding import make_batch_nu_mesh
+
+    config, adata, models, nus = spherical_grid_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    extra = tmp_path / "t5000.mod"
+    write_marcs_file(extra, teff=5000.0, logg=2.0, spherical=True,
+                     radius_cm=2.5e12)
+    models = models + [
+        read_marcs_model(extra).to_stellar_model(adata, final_atomic_number=5)
+    ]
+    plan, batch = make_batch(config, adata, models, nus)
+    f_plain = np.asarray(run_batch(plan, batch))
+    f_2d = np.asarray(run_batch(plan, batch, mesh=make_batch_nu_mesh(2, 4)))
+    np.testing.assert_allclose(f_2d, f_plain, rtol=1e-10, atol=0)
