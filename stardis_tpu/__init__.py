@@ -9,12 +9,14 @@ depth sweeps, tiered split-dense line-profile accumulation).
 
 Entry points: ``run_stardis`` (one-shot synthesis),
 ``serving.SpectralService`` (compiled-plan serving),
-``parallel.batch.run_batch`` (atmosphere grids),
-``parallel.sharding.shard_spectrum`` (wavelength-sharded meshes).
+``parallel.batch.run_batch`` (atmosphere grids; 1-D batch or 2-D
+batch x nu meshes), ``parallel.sharding.shard_spectrum``
+(wavelength-sharded meshes with host-side bucketed line pairs),
+``atom_data.convert`` (carsus-store converter CLI).
 """
 
 from stardis_tpu.base import STARDISOutput, parse_config_to_model, run_stardis
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = ["run_stardis", "STARDISOutput", "parse_config_to_model"]
