@@ -92,10 +92,10 @@ def window_pixels_accuracy(alpha, gamma, doppler, d_nu, epsilon=1e-12):
 TIER_WINDOWS = (128, 512, 2048, 8192)
 
 # A tier whose window is at least 1/DENSE_WINDOW_FRACTION of the grid runs
-# the dense full-grid path instead of the windowed scatter: on v5e a narrow
-# scatter row costs ~10x a dense masked Voigt eval, so dense wins until the
-# window is a small fraction of the grid (measured crossover ~1/64 on the
-# 100k-line Sim100AA workload; the 128-pixel bulk tier stays scatter).
+# the dense full-grid path instead of the windowed scatter (v5e scatter is
+# payload-bound at ~1.5 GB/s; measured crossover ~1/64 on the 100k-line
+# Sim100AA workload).  Narrower tiers prefer the panelized path below; the
+# per-pixel scatter survives only as the host-index-free fallback.
 DENSE_WINDOW_FRACTION = 64
 
 # Tiers whose window is at most 1/PANELIZE_MAX_FRACTION of the grid are
