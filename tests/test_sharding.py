@@ -170,3 +170,34 @@ def test_sharded_accuracy_mode_equals_unsharded(solar_plan):
     np.testing.assert_allclose(
         np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
     )
+
+
+def test_bucketed_eval_budget_scales(solar_plan):
+    """Guard against bucketing regressions: the per-shard eval budget on a
+    line-heavy plan must stay well below the unsharded budget (round 2
+    shipped every pair to every shard; the meter would read ~1/ndev of
+    this bar)."""
+    from stardis_tpu.opacities.line_kernel import line_center_indices
+    from stardis_tpu.parallel.sharding import (
+        _pad_to_multiple,
+        shard_eval_stats,
+    )
+    from stardis_tpu.pipeline import line_window_tiers
+
+    plan = solar_plan
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    window = line_window_tiers(plan, lq, state)
+    ndev = 8
+    nus_padded, _ = _pad_to_multiple(plan.tracing_nus, ndev)
+    centers = {
+        "atomic": line_center_indices(nus_padded, plan.line_data.nu)
+    }
+    st = shard_eval_stats(
+        window, centers, len(plan.temperatures), len(nus_padded), ndev
+    )
+    assert st["unsharded_evals"] > 0
+    # every shard must carry less than half the unsharded budget (the
+    # round-2 failure mode put the FULL budget on every shard)
+    assert max(st["per_shard_evals"]) < 0.5 * st["unsharded_evals"], st
