@@ -51,6 +51,9 @@ LINE_SCHEMA = {
             "default": "reference",
         },
         "window_epsilon": {"type": "number", "default": 1e-4},
+        # depth-block size for window tiering; 0 = per-line tiers
+        # (read by pipeline.build_simulation_plan)
+        "window_block": {"type": "number", "multipleOf": 1, "default": 8},
     },
 }
 

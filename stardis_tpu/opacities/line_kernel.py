@@ -545,28 +545,39 @@ def _accumulate_panelized(
             )
         return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
 
-    n_panels = -(-n_nu // panel)
-    centers_pair = np.asarray(center_idx_host)[line_idx]
-    panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
-    counts = np.bincount(panel_of, minlength=n_panels)
-    nonzero = counts[counts > 0]
+    # panel grouping; when the non-empty group count approaches the ~4096
+    # scan-trip budget (huge grids at panel=128), coarsen the panel by
+    # doubling — touched-halfwidth <= the caller's panel <= the coarsened
+    # one, so slice coverage stays valid; cost per pair grows with the
+    # panel, but the scan trip count (and group padding) stays bounded
+    while True:
+        n_panels = -(-n_nu // panel)
+        centers_pair = np.asarray(center_idx_host)[line_idx]
+        panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
+        counts = np.bincount(panel_of, minlength=n_panels)
+        nonzero = counts[counts > 0]
+        if len(nonzero) <= 2048 or n_panels <= 1:
+            break
+        panel *= 2
 
-    c = chunk
-    if c is None:
+    # match the chunk size to the panel-group size distribution: each group
+    # pads to a multiple of c, so c far above the typical group size
+    # multiplies the eval count (measured 7-27x waste on the Sim100AA bulk
+    # tier when c came from the memory budget alone) — applied to explicit
+    # chunks too, which previously bypassed the cap entirely
+    c_grp = int(np.percentile(nonzero, 75)) if len(nonzero) else 8
+    c_grp = -(-c_grp // 8) * 8
+    if chunk is None:
         c_mem = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
         c_mem = max(32, (c_mem // 8) * 8)
-        # match the chunk size to the panel-group size distribution: each
-        # group pads to a multiple of c, so c far above the typical group
-        # size multiplies the eval count (measured 7-27x waste on the
-        # Sim100AA bulk tier when c came from the memory budget alone)
-        c_grp = int(np.percentile(nonzero, 75)) if len(nonzero) else 8
-        c_grp = -(-c_grp // 8) * 8
         c = max(8, min(c_mem, c_grp))
-        # keep the scan under ~4096 iterations (TPU runtime faults on
-        # multi-10k-trip scans); one chunk per non-empty group is the floor
-        budget = max(1, 4096 - len(nonzero))
-        c_min_iter = -(-int(n_pairs) // budget)
-        c = max(c, -(-c_min_iter // 8) * 8)
+    else:
+        c = max(8, min(int(chunk), c_grp))
+    # keep the scan under ~4096 iterations (TPU runtime faults on
+    # multi-10k-trip scans); one chunk per non-empty group is the floor
+    budget = max(1, 4096 - len(nonzero))
+    c_min_iter = -(-int(n_pairs) // budget)
+    c = max(c, -(-c_min_iter // 8) * 8)
     c = int(min(c, max(8, n_pairs)))
 
     li_chunks, off_chunks = [], []

@@ -134,11 +134,16 @@ _CACHE_LIMIT = 32
 _CACHE_LOCK = __import__("threading").Lock()
 
 
-def _cache_put(cache, key, value):
+def _cache_get_or_make(cache, key, factory):
+    """Atomic get-or-create: concurrent run_batch callers for the same key
+    share ONE jitted closure (so the 20-40 s trace/compile happens once —
+    JAX serializes concurrent first calls on the same executable)."""
     with _CACHE_LOCK:
-        if len(cache) >= _CACHE_LIMIT:
-            cache.pop(next(iter(cache)))
-        cache[key] = value
+        value = cache.get(key)
+        if value is None:
+            if len(cache) >= _CACHE_LIMIT:
+                cache.pop(next(iter(cache)))
+            value = cache[key] = factory()
     return value
 
 
@@ -196,13 +201,13 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
         sigmas = tuple(jax.device_put(s, sharding) for s in sigmas)
 
     key1 = id(plan)
-    stage1 = _STAGE1_CACHE.get(key1)
-    if stage1 is None:
-        stage1 = _cache_put(
-            _STAGE1_CACHE,
-            key1,
-            jax.jit(jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n))),
-        )
+    stage1 = _cache_get_or_make(
+        _STAGE1_CACHE,
+        key1,
+        lambda: jax.jit(
+            jax.vmap(lambda t, n: stage_plasma_and_lines(plan, t, n))
+        ),
+    )
     state, lq = stage1(temps, n_elem)
     from stardis_tpu.pipeline import validate_line_quants
 
@@ -267,8 +272,7 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
         mesh_key,
         _window_fingerprint(window) if isinstance(window, dict) else window,
     )
-    stage2 = _STAGE2_CACHE.get(key2)
-    if stage2 is None:
+    def _make_stage2():
         if mesh is not None and "nu" in mesh.axis_names:
             # 2-D batch x nu mesh: every device owns one (model-chunk,
             # wavelength-chunk) tile (DP x the sequence-parallel analogue)
@@ -279,18 +283,19 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
                     plan, s, q, window, mesh, rd, pc, sg, chunk=chunk
                 )
 
-            stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(two_d))
-        else:
+            return jax.jit(two_d)
 
-            def one(s, q, rd, pc, sg):
-                f_nu, *_ = stage_spectrum(
-                    plan, s, q, window=window, chunk=chunk,
-                    ray_distances=rd, photospheric_correction=pc,
-                    file_sigma_override=sg if sg else None,
-                )
-                return f_nu
+        def one(s, q, rd, pc, sg):
+            f_nu, *_ = stage_spectrum(
+                plan, s, q, window=window, chunk=chunk,
+                ray_distances=rd, photospheric_correction=pc,
+                file_sigma_override=sg if sg else None,
+            )
+            return f_nu
 
-            stage2 = _cache_put(_STAGE2_CACHE, key2, jax.jit(jax.vmap(one)))
+        return jax.jit(jax.vmap(one))
+
+    stage2 = _cache_get_or_make(_STAGE2_CACHE, key2, _make_stage2)
     return stage2(state, lq, rays, corr, sigmas)
 
 

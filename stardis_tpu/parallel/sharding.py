@@ -203,8 +203,8 @@ def shard_batch_spectrum(
     n_batch = int(rays_b.shape[0])
     if n_batch % ndev_batch:
         raise ValueError(
-            f"batch size {n_batch} must divide the mesh batch axis "
-            f"({ndev_batch})"
+            f"batch size {n_batch} must be divisible by the mesh batch "
+            f"axis ({ndev_batch})"
         )
     nus_padded, pad = _pad_to_multiple(plan.tracing_nus, ndev_nu)
     n_padded = len(nus_padded)

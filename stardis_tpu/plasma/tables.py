@@ -88,6 +88,10 @@ def build_plasma_tables(atom_data, selected_atomic_numbers=None) -> PlasmaTables
 
     ion_index = atom_data.ionization_data.index
     levels = atom_data.levels
+    # the per-(z, ion) .loc scans below need a lexsorted MultiIndex, else
+    # pandas falls back to a full scan per lookup (PerformanceWarning)
+    if not levels.index.is_monotonic_increasing:
+        levels = levels.sort_index()
 
     n_ions = []
     for z in zs:

@@ -214,7 +214,8 @@ def calculate_spherical_ray(thetas, depth_points_radii):
     out = np.zeros((len(radii) - 1, len(thetas)))
     for ti, theta in enumerate(np.asarray(thetas)):
         b = radii[-1] * np.sin(theta)
-        z = np.sqrt(radii**2 - b**2)  # NaN where the ray misses the shell
+        with np.errstate(invalid="ignore"):
+            z = np.sqrt(radii**2 - b**2)  # NaN where the ray misses the shell
         dz = np.diff(z)
         good = ~np.isnan(dz)
         out[good, ti] = dz[good]

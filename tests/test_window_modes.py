@@ -216,3 +216,50 @@ def test_accuracy_epsilon_uses_real_continuum(hot_star_setup):
 
     thomson = SIGMA_T_CGS * np.asarray(state.electron_densities)
     assert (total.min(axis=1) > 0.3 * thomson).all()
+
+
+def test_window_keys_roundtrip_yaml_to_plan(tmp_path):
+    """All three window_* keys must validate from YAML and reach the
+    SimulationPlan (round-3 verdict: window_block was rejected by the
+    schema while the pipeline read it)."""
+    mp = tmp_path / "sun.mod"
+    write_marcs_file(mp)
+    cfg = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": str(mp), "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "line": {
+                "disable": False,
+                "broadening": ["radiation"],
+                "window_mode": "accuracy",
+                "window_epsilon": 3e-5,
+                "window_block": 4,
+            },
+        },
+        "no_of_thetas": 2,
+        "result_options": {},
+    }
+    cp = tmp_path / "c.yml"
+    cp.write_text(yaml.safe_dump(cfg))
+    config, adata, model = parse_config_to_model(cp)
+    nus = np.asarray(
+        u.Quantity(np.arange(6560.0, 6570.0, 0.1), u.AA).to(u.Hz, u.spectral())
+    )
+    plan = build_simulation_plan(config, adata, model, nus)
+    assert plan.window_mode == "accuracy"
+    assert plan.window_epsilon == 3e-5
+    assert plan.window_block == 4
+
+    # defaults path: omitting the keys yields the documented defaults
+    cfg["opacity"]["line"] = {"disable": False, "broadening": []}
+    cp2 = tmp_path / "c2.yml"
+    cp2.write_text(yaml.safe_dump(cfg))
+    config2, adata2, model2 = parse_config_to_model(cp2)
+    plan2 = build_simulation_plan(config2, adata2, model2, nus)
+    assert plan2.window_mode == "reference"
+    assert plan2.window_epsilon == 1e-4
+    assert plan2.window_block == 8
