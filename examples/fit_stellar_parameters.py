@@ -71,45 +71,67 @@ def main():
     n_elem0 = jnp.asarray(plan.n_elem)
     window = 512  # static window wide enough for every scale probed
 
-    def spectrum(scale):
+    from stardis_tpu.constants import C_KMS
+    from stardis_tpu.postprocessing import rotation_broadening_jax
+
+    # constant velocity-per-pixel of the uniform-lambda grid (one value is
+    # exact to ~0.1% over this 16 AA window)
+    vel_pix = float(0.05 / lams.mean() * C_KMS)  # km/s per pixel
+    HALF = 24  # static kernel support: fits any v sin i < 24*vel_pix
+
+    def spectrum(scale, v_rot):
         # scaling T at fixed total gas density: n ~ P/(kT) -> n/scale
         state, lq = stage_plasma_and_lines(
             plan, temps0 * scale, n_elem0 / scale
         )
         f_nu, *_ = stage_spectrum(plan, state, lq, window=window, chunk=256)
         surface = f_nu[-1]
-        return surface / surface.mean()  # continuum-normalized shape
+        # post-processing stays on device and in the gradient chain: the
+        # rotational convolution is differentiable w.r.t. v sin i
+        broadened = rotation_broadening_jax(
+            vel_pix, surface, v_rot, half_width_pix=HALF
+        )
+        return broadened / broadened.mean()  # continuum-normalized shape
 
     true_scale = 1.021  # "unknown" star: ~120 K hotter than the start
-    observed = spectrum(true_scale)
+    true_vrot = 11.0  # km/s v sin i
+    observed = spectrum(true_scale, true_vrot)
 
     @jax.jit
-    def loss_and_grad(scale):
-        def loss(s):
-            return jnp.mean((spectrum(s) - observed) ** 2)
+    def loss_and_grad(params):
+        def loss(p):
+            return jnp.mean((spectrum(p[0], p[1]) - observed) ** 2)
 
-        return jax.value_and_grad(loss)(scale)
+        return jax.value_and_grad(loss)(params)
 
-    scale = jnp.asarray(1.0)
+    params = jnp.asarray([1.0, 5.0])  # start: solar T, slow rotator
+    pscale = jnp.asarray([1.0, 300.0])  # per-parameter step scaling
     m = v = 0.0
     lr, b1, b2 = 3e-2, 0.9, 0.999
     print(f"target scale {true_scale:.4f} "
-          f"(Teff ~ {5777 * true_scale:.0f} K); start 1.0000")
-    for i in range(40):
-        val, g = loss_and_grad(scale)
+          f"(Teff ~ {5777 * true_scale:.0f} K), "
+          f"v sin i {true_vrot:.1f} km/s; start (1.0000, 5.0)")
+    for i in range(60):
+        val, g = loss_and_grad(params)
+        g = g * pscale
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g
         mhat = m / (1 - b1 ** (i + 1))
         vhat = v / (1 - b2 ** (i + 1))
-        scale = scale - lr * mhat / (jnp.sqrt(vhat) + 1e-12)
-        if i % 5 == 0 or i == 39:
+        lr_i = lr / (1.0 + 0.05 * i)  # decay damps the late oscillation
+        params = params - lr_i * pscale * mhat / (jnp.sqrt(vhat) + 1e-12)
+        if i % 5 == 0 or i == 59:
             print(f"  iter {i:3d}: loss {float(val):.3e} "
-                  f"scale {float(scale):.5f}")
+                  f"scale {float(params[0]):.5f} "
+                  f"vsini {float(params[1]):.2f}")
 
-    err = abs(float(scale) - true_scale)
-    print(f"recovered scale {float(scale):.5f} "
-          f"(Teff ~ {5777 * float(scale):.0f} K), |error| = {err:.1e}")
-    assert err < 2e-3, "gradient fit failed to converge"
+    err = abs(float(params[0]) - true_scale)
+    err_v = abs(float(params[1]) - true_vrot)
+    print(f"recovered scale {float(params[0]):.5f} "
+          f"(Teff ~ {5777 * float(params[0]):.0f} K), |error| = {err:.1e}; "
+          f"v sin i {float(params[1]):.2f} km/s, |error| = {err_v:.1e}")
+    assert err < 2e-3, "gradient fit failed to converge on T scale"
+    assert err_v < 0.3, "gradient fit failed to converge on v sin i"
     print("OK")
 
 

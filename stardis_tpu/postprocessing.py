@@ -4,6 +4,20 @@ Mirrors reference broadening.py:824-877 (rotation_broadening, Gray's
 rotational kernel with linear limb darkening) and the docs' instrumental
 broadening recipe (gaussian_filter1d in
 docs/rotation_broadening/rotation_broadening.ipynb).
+
+Two tiers:
+
+* host NumPy/SciPy functions (``rotation_broadening``,
+  ``instrumental_broadening``) — reference-parity API, Quantity in/out;
+* device JAX functions (``rotation_broadening_jax``,
+  ``instrumental_broadening_jax``) — jittable and DIFFERENTIABLE through
+  v sin i / limb darkening / sigma, so spectral fits can recover rotation
+  and resolution jointly with the atmosphere (the reference post-processing
+  is NumPy-only and breaks the gradient chain).  The kernel support is a
+  static shape parameter (TPU static-shape discipline); the kernel values
+  are smooth functions of the traced parameters, and Gray's profile is
+  exactly zero beyond |v| >= v sin i, so any support >= v_rot/vel_pix
+  reproduces the host result bit-for-bit after normalization.
 """
 
 from __future__ import annotations
@@ -67,6 +81,94 @@ def rotation_broadening(
 
     broadened = convolve1d(flux_vals, kernel)
     return wavelength, u.Quantity(broadened, u.erg / u.s / u.cm**2 / u.AA)
+
+
+def _reflect_convolve_jax(flux, kernel, half: int):
+    """Convolve with a centered odd kernel under scipy.ndimage's default
+    'reflect' boundary (edge sample duplicated = jnp.pad 'symmetric')."""
+    import jax.numpy as jnp
+
+    if half == 0:
+        return flux * kernel[0]
+    padded = jnp.pad(flux, (half, half), mode="symmetric")
+    return jnp.convolve(padded, kernel, mode="valid")
+
+
+def rotation_kernel_jax(vel_pix, v_rot_kms, half_width_pix: int,
+                        limb_darkening=0.6, dtype=None):
+    """Gray rotational kernel sampled on a static support (differentiable).
+
+    Matches the host kernel (reference broadening.py:824-877) exactly for
+    any half_width_pix >= v_rot/vel_pix: the profile is zero outside
+    |v| >= v_rot, so extra support adds exact zeros and normalization
+    removes the rest.  The sqrt at the profile's zero crossing is guarded
+    so gradients w.r.t. v_rot stay finite.
+    """
+    import jax.numpy as jnp
+
+    i = jnp.arange(-half_width_pix, half_width_pix + 1, dtype=dtype)
+    v = i * vel_pix
+    profile = 1.0 - (v / v_rot_kms) ** 2
+    pos = profile > 0.0
+    sqrt_prof = jnp.where(pos, jnp.sqrt(jnp.where(pos, profile, 1.0)), 0.0)
+    profile = jnp.where(pos, profile, 0.0)
+    v_rot_by_c = jnp.abs(v_rot_kms) / C_KMS
+    kern = (
+        2.0 * (1.0 - limb_darkening) * sqrt_prof
+        + 0.5 * jnp.pi * limb_darkening * profile
+    ) / (jnp.pi * v_rot_by_c * (1.0 - limb_darkening / 3.0))
+    return kern / jnp.sum(kern)
+
+
+def rotation_broadening_jax(vel_pix, flux, v_rot_kms, limb_darkening=0.6,
+                            half_width_pix: int | None = None):
+    """Device-side rotational broadening, differentiable w.r.t. flux,
+    v_rot_kms and limb_darkening.
+
+    Parameters
+    ----------
+    vel_pix : float — velocity width of one pixel [km/s] (static or traced).
+    flux : [N] jnp array — F_lambda on a constant-velocity grid.
+    v_rot_kms : traced scalar — v sin i [km/s].
+    half_width_pix : static kernel half-support in pixels.  REQUIRED when
+        v_rot_kms is traced (e.g. inside jit/grad); must satisfy
+        half_width_pix >= v_rot/vel_pix for every v_rot the fit explores.
+        Defaults to round(v_rot/vel_pix) when v_rot is concrete — the
+        host kernel's support.
+    """
+    import jax.numpy as jnp
+
+    if half_width_pix is None:
+        half_width_pix = int(round(float(v_rot_kms) / float(vel_pix)))
+    flux = jnp.asarray(flux)
+    kern = rotation_kernel_jax(
+        vel_pix, v_rot_kms, half_width_pix, limb_darkening, dtype=flux.dtype
+    )
+    return _reflect_convolve_jax(flux, kern, half_width_pix)
+
+
+def gaussian_kernel_jax(sigma_pix, radius_pix: int, dtype=None):
+    """Normalized Gaussian kernel on a static support (differentiable in
+    sigma).  Matches scipy.ndimage.gaussian_filter1d's kernel for
+    radius_pix = int(4*sigma + 0.5) (its truncate=4 default)."""
+    import jax.numpy as jnp
+
+    x = jnp.arange(-radius_pix, radius_pix + 1, dtype=dtype)
+    phi = jnp.exp(-0.5 * (x / sigma_pix) ** 2)
+    return phi / jnp.sum(phi)
+
+
+def instrumental_broadening_jax(flux, sigma_pix, radius_pix: int | None = None):
+    """Device-side Gaussian instrumental broadening, differentiable w.r.t.
+    flux and sigma_pix [pixels].  radius_pix (static) must be given when
+    sigma_pix is traced; defaults to scipy's int(4*sigma + 0.5)."""
+    import jax.numpy as jnp
+
+    if radius_pix is None:
+        radius_pix = int(4.0 * float(sigma_pix) + 0.5)
+    flux = jnp.asarray(flux)
+    kern = gaussian_kernel_jax(sigma_pix, radius_pix, dtype=flux.dtype)
+    return _reflect_convolve_jax(flux, kern, radius_pix)
 
 
 def instrumental_broadening(wavelength, flux, resolution=None, sigma_aa=None):
