@@ -167,6 +167,54 @@ def _window_fingerprint(window):
     return h.hexdigest()
 
 
+def batch_window_tiers(plan, state, lq):
+    """Window tiers from the batch-max adaptive window per line (the tier
+    index arrays must be batch-independent; CLAUDE.md invariant — with
+    depth blocking they are per-(line, depth-block), still batch-free)."""
+    if not lq:
+        return 0
+    from stardis_tpu.opacities.line_kernel import (
+        assign_window_tiers,
+        assign_window_tiers_blocked,
+        split_core_half,
+        window_pixels,
+    )
+
+    window = {}
+    for key, (alpha, gamma, doppler) in lq.items():  # each [B, L, D]
+        if plan.window_mode == "accuracy":
+            from stardis_tpu.opacities.line_kernel import (
+                window_pixels_accuracy,
+            )
+            from stardis_tpu.pipeline import accuracy_epsilon
+
+            # per-model epsilon; the tier budget takes the batch max
+            eps = jax.vmap(lambda s: accuracy_epsilon(plan, s))(state)
+            win = window_pixels_accuracy(
+                alpha, gamma, doppler, plan.d_nu,
+                epsilon=eps[:, None, :],
+            )
+        else:
+            win = window_pixels(alpha, gamma, doppler, plan.d_nu)
+        if plan.window_block > 0:
+            win_line_depth = np.asarray(jnp.max(win, axis=0))  # [L, D]
+            bt = assign_window_tiers_blocked(
+                win_line_depth, len(plan.tracing_nus),
+                block=plan.window_block,
+            )
+            # split-dense core width from the batch-max doppler
+            bt.core_half = split_core_half(
+                float(jnp.max(doppler)), plan.d_nu
+            )
+            window[key] = bt
+        else:
+            win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))
+            window[key] = assign_window_tiers(
+                win_per_line, len(plan.tracing_nus)
+            )
+    return window
+
+
 def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None,
               chunk=None):
     """Synthesize all atmospheres; returns F_nu [B, D, N].
@@ -213,52 +261,7 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
 
     validate_line_quants(lq)
 
-    # window tiers from the batch-max adaptive window per line (the tier
-    # index arrays must be batch-independent; CLAUDE.md invariant — with
-    # depth blocking they are per-(line, depth-block), still batch-free)
-    if lq:
-        from stardis_tpu.opacities.line_kernel import (
-            assign_window_tiers,
-            assign_window_tiers_blocked,
-            window_pixels,
-        )
-
-        window = {}
-        for key, (alpha, gamma, doppler) in lq.items():  # each [B, L, D]
-            if plan.window_mode == "accuracy":
-                from stardis_tpu.opacities.line_kernel import (
-                    window_pixels_accuracy,
-                )
-                from stardis_tpu.pipeline import accuracy_epsilon
-
-                # per-model epsilon; the tier budget takes the batch max
-                eps = jax.vmap(lambda s: accuracy_epsilon(plan, s))(state)
-                win = window_pixels_accuracy(
-                    alpha, gamma, doppler, plan.d_nu,
-                    epsilon=eps[:, None, :],
-                )
-            else:
-                win = window_pixels(alpha, gamma, doppler, plan.d_nu)
-            if plan.window_block > 0:
-                win_line_depth = np.asarray(jnp.max(win, axis=0))  # [L, D]
-                bt = assign_window_tiers_blocked(
-                    win_line_depth, len(plan.tracing_nus),
-                    block=plan.window_block,
-                )
-                # split-dense core width from the batch-max doppler
-                from stardis_tpu.opacities.line_kernel import split_core_half
-
-                bt.core_half = split_core_half(
-                    float(jnp.max(doppler)), plan.d_nu
-                )
-                window[key] = bt
-            else:
-                win_per_line = np.asarray(jnp.max(win, axis=(0, 2)))
-                window[key] = assign_window_tiers(
-                    win_per_line, len(plan.tracing_nus)
-                )
-    else:
-        window = 0
+    window = batch_window_tiers(plan, state, lq)
 
     mesh_key = (
         (tuple(mesh.axis_names), tuple(np.shape(mesh.devices)))
@@ -279,9 +282,12 @@ def run_batch(plan: SimulationPlan, batch: BatchInputs, mesh: Mesh | None = None
             from stardis_tpu.parallel.sharding import shard_batch_spectrum
 
             def two_d(s, q, rd, pc, sg):
-                return shard_batch_spectrum(
+                out = shard_batch_spectrum(
                     plan, s, q, window, mesh, rd, pc, sg, chunk=chunk
                 )
+                # run_batch returns F_nu only on every path; callers who
+                # need per-angle I_nus use shard_batch_spectrum directly
+                return out[0] if plan.track_individual_intensities else out
 
             return jax.jit(two_d)
 

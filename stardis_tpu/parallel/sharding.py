@@ -191,13 +191,11 @@ def shard_batch_spectrum(
     (vmap inside the shard); the nu axis reuses the host-side bucketed
     line pairs, so the partition over (model, line, depth, pixel) is
     exact and collective-free.  Returns F_nu [B, D, N] sharded
-    P("batch", None, "nu").
+    P("batch", None, "nu"); when plan.track_individual_intensities is set
+    (result_options.return_radiation_field, reference
+    radiation_field/base.py:64-68) it returns (F_nu, I_nus [B, D, N, T])
+    instead, I_nus sharded over batch and nu too.
     """
-    if plan.track_individual_intensities:
-        raise NotImplementedError(
-            "per-angle intensity tracking is not supported on the 2-D "
-            "batch x nu mesh; use the 1-D paths"
-        )
     ndev_nu = mesh.shape["nu"]
     ndev_batch = mesh.shape["batch"]
     n_batch = int(rays_b.shape[0])
@@ -320,18 +318,25 @@ def shard_batch_spectrum(
                 )
                 total = total + alpha_line
             source = blackbody_flux_at_nu(nus_local, s.t)
-            f_nu, _ = raytrace(
+            f_nu, i_nus = raytrace(
                 total, source, rd,
                 jnp.asarray(plan.weights, dtype=dtype),
                 inward_rays=plan.inward_rays,
                 photospheric_correction=pc,
+                track_individual_intensities=(
+                    plan.track_individual_intensities
+                ),
             )
+            if plan.track_individual_intensities:
+                return f_nu, i_nus  # [D, n_loc], [D, n_loc, T]
             return f_nu
 
-        return jax.vmap(one)(
+        out = jax.vmap(one)(
             state_l, lq_l, rays_l, corr_l, eps_l, sigma_l
-        )  # [B_local, D, n_local]
+        )  # [B_local, D, n_local] (+ [B_local, D, n_local, T] if tracking)
+        return out
 
+    track = plan.track_individual_intensities
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
@@ -339,14 +344,23 @@ def shard_batch_spectrum(
             P("batch"), P("batch"), P("batch"), P("batch"), P("batch"),
             P("batch", None, "nu"), P("nu"),
         ),
-        out_specs=P("batch", None, "nu"),
+        out_specs=(
+            (P("batch", None, "nu"), P("batch", None, "nu", None))
+            if track
+            else P("batch", None, "nu")
+        ),
     )
-    f_nu = smapped(
+    out = smapped(
         state_b, lq_b, jnp.asarray(rays_b, dtype=dtype),
         jnp.asarray(corr_b, dtype=dtype), eps_b, sigmas_b, pair_args,
     )
+    f_nu, i_nus = out if track else (out, None)
     if pad:
         f_nu = f_nu[:, :, : len(plan.tracing_nus)]
+        if i_nus is not None:
+            i_nus = i_nus[:, :, : len(plan.tracing_nus), :]
+    if track:
+        return f_nu, i_nus
     return f_nu
 
 
