@@ -479,93 +479,68 @@ def accumulate_line_opacity_tiered(
     return out
 
 
-def _accumulate_panelized(
-    tracing_nus_desc,  # [N]
-    line_nu,  # [L] (centered frame)
-    center_idx,  # [L] device
-    center_idx_host,  # [L] host numpy (panel grouping)
-    alpha_b,  # [L, NB, B] blocked
-    gamma_b,
-    doppler_b,
-    line_idx,  # [P] host pair line indices
-    block_idx,  # [P] host pair block indices
-    blk: int,
-    n_blocks: int,
-    panel: int,  # static panel width (128-multiple); updates span 3 panels
-    phi_fn,  # voigt_profile (cores) or voigt_profile_region1 (far wings)
-    off_mask_fn,  # extra pixel mask by signed offset (core/wing selector)
-    d_nu: float,
-    chunk,
+def panel_schedule(
+    centers_local_list,  # per shard: [P_s] LOCAL center pixel of each pair
+    line_idx_list,  # per shard: [P_s] pair line indices (host numpy)
+    block_idx_list,  # per shard: [P_s] pair depth-block indices
+    n_nu: int,  # LOCAL grid width (per-shard width under sharding)
+    panel: int,  # requested panel width (128-multiple); may be coarsened
+    chunk,  # explicit chunk or None (memory-budget auto)
     memory_budget_bytes: int,
-    window_mode: str,
-    eps_b,  # scalar or [NB, B] per-depth epsilon
-    per_depth_eps: bool,
-    acc,  # [n_nu * NB, B] carried accumulator
+    blk: int,
+    itemsize: int,
 ):
-    """Panel-grouped accumulation: pairs are bucketed by the panel
-    containing their center (host side), each bucket padded to chunk
-    multiples; a single scan places each chunk's [3*panel, NB, B] update at
-    its panel offset with a dynamic read-modify-write (sequential in the
-    scan -> deterministic).  One scan keeps the HLO small — a Python loop
-    of per-panel scans OOM-killed the XLA compile helper.
+    """Host-side panel-grouped chunk schedule, jointly over 1+ shards.
 
-    This replaces a scatter (per-row dynamic indexing, measured ~10x the
-    cost of a dense masked eval on v5e) with dense 3-panel slices whenever
-    every touched pixel of a pair provably lies within +-panel of its
-    center panel — callers must guarantee touched-halfwidth <= panel.
-    Used for (a) the full-Voigt cores of the split dense path and (b) both
-    passes of the split wide-window scatter tiers.
+    Pairs are bucketed by the panel containing their center; each bucket is
+    padded to a multiple of the chunk size ``c`` and the buckets are
+    concatenated, with one slice offset per chunk.  The panel width, chunk
+    size and chunk count are chosen JOINTLY over all shards so that under
+    shard_map every shard runs the same program on its own schedule
+    (schedules are padded with dead chunks — live=False, offset 0 — to the
+    max chunk count over shards).
+
+    Coarsening: when any shard's non-empty group count approaches the
+    ~4096 scan-trip budget (huge grids at panel=128), the panel doubles —
+    touched-halfwidth <= the caller's panel <= the coarsened one, so slice
+    coverage stays valid; cost per pair grows with the panel but the trip
+    count (and group padding) stays bounded.
+
+    Chunk sizing matches the panel-group size distribution: each group pads
+    to a multiple of c, so c far above the typical group size multiplies
+    the eval count (measured 7-27x waste on the Sim100AA bulk tier when c
+    came from the memory budget alone) — applied to explicit chunks too.
+
+    Returns (li [S, NC*c], bi [S, NC*c], live [S, NC*c],
+    offs [S, NC] int32, c, panel).
     """
-    n_nu = tracing_nus_desc.shape[0]
-    dtype = alpha_b.dtype
-    itemsize = jnp.dtype(dtype).itemsize
-    n_pairs = len(line_idx)
-    nb_range = jnp.arange(n_blocks)
+    n_shards = len(line_idx_list)
+    centers_local_list = [np.asarray(x) for x in centers_local_list]
+    line_idx_list = [np.asarray(x, dtype=np.int64) for x in line_idx_list]
+    block_idx_list = [np.asarray(x, dtype=np.int64) for x in block_idx_list]
 
-    def gather(li, bi):
-        li_d, bi_d = jnp.asarray(li), jnp.asarray(bi)
-        if per_depth_eps:
-            p_eps = eps_b[bi_d]
-        else:
-            p_eps = jnp.full((len(li), blk), eps_b, dtype=dtype)
-        return (
-            line_nu[li_d],
-            center_idx[li_d],
-            alpha_b[li_d, bi_d],
-            gamma_b[li_d, bi_d],
-            doppler_b[li_d, bi_d],
-            (bi_d[:, None] == nb_range[None, :]).astype(dtype),  # onehot
-            p_eps,
-        )
-
-    def win_of(c_alpha, c_gamma, c_doppler, c_eps):
-        if window_mode == "accuracy":
-            return window_pixels_accuracy(
-                c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
-            )
-        return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
-
-    # panel grouping; when the non-empty group count approaches the ~4096
-    # scan-trip budget (huge grids at panel=128), coarsen the panel by
-    # doubling — touched-halfwidth <= the caller's panel <= the coarsened
-    # one, so slice coverage stays valid; cost per pair grows with the
-    # panel, but the scan trip count (and group padding) stays bounded
     while True:
         n_panels = -(-n_nu // panel)
-        centers_pair = np.asarray(center_idx_host)[line_idx]
-        panel_of = np.clip(centers_pair // panel, 0, n_panels - 1)
-        counts = np.bincount(panel_of, minlength=n_panels)
-        nonzero = counts[counts > 0]
-        if len(nonzero) <= 2048 or n_panels <= 1:
+        panel_of = [
+            np.clip(c_l // panel, 0, n_panels - 1)
+            for c_l in centers_local_list
+        ]
+        nonzero = []
+        for p_of in panel_of:
+            counts = np.bincount(p_of, minlength=n_panels)
+            nonzero.append(counts[counts > 0])
+        if max((len(nz) for nz in nonzero), default=0) <= 2048 or (
+            n_panels <= 1
+        ):
             break
         panel *= 2
 
-    # match the chunk size to the panel-group size distribution: each group
-    # pads to a multiple of c, so c far above the typical group size
-    # multiplies the eval count (measured 7-27x waste on the Sim100AA bulk
-    # tier when c came from the memory budget alone) — applied to explicit
-    # chunks too, which previously bypassed the cap entirely
-    c_grp = int(np.percentile(nonzero, 75)) if len(nonzero) else 8
+    pooled = (
+        np.concatenate([nz for nz in nonzero if len(nz)])
+        if any(len(nz) for nz in nonzero)
+        else np.asarray([8])
+    )
+    c_grp = int(np.percentile(pooled, 75))
     c_grp = -(-c_grp // 8) * 8
     if chunk is None:
         c_mem = memory_budget_bytes // (4 * blk * 3 * panel * itemsize)
@@ -573,33 +548,111 @@ def _accumulate_panelized(
         c = max(8, min(c_mem, c_grp))
     else:
         c = max(8, min(int(chunk), c_grp))
-    # keep the scan under ~4096 iterations (TPU runtime faults on
+    # keep every shard's scan under ~4096 iterations (TPU runtime faults on
     # multi-10k-trip scans); one chunk per non-empty group is the floor
-    budget = max(1, 4096 - len(nonzero))
-    c_min_iter = -(-int(n_pairs) // budget)
+    n_pairs_max = max((len(li) for li in line_idx_list), default=0)
+    groups_max = max((len(nz) for nz in nonzero), default=1)
+    budget = max(1, 4096 - groups_max)
+    c_min_iter = -(-int(n_pairs_max) // budget)
     c = max(c, -(-c_min_iter // 8) * 8)
-    c = int(min(c, max(8, n_pairs)))
+    c = int(min(c, max(8, n_pairs_max)))
 
-    li_chunks, off_chunks = [], []
-    for g in range(n_panels):
-        sel = np.nonzero(panel_of == g)[0]
-        if len(sel) == 0:
-            continue
-        pad_g = (-len(sel)) % c
-        li_g = np.concatenate([line_idx[sel], np.zeros(pad_g, np.int64)])
-        bi_g = np.concatenate([block_idx[sel], np.zeros(pad_g, np.int64)])
-        live_g = np.arange(len(sel) + pad_g) < len(sel)
-        li_chunks.append((li_g, bi_g, live_g, g))
-        off_chunks.extend([g * panel] * ((len(sel) + pad_g) // c))
-    if not li_chunks:
+    schedules = []
+    for s in range(n_shards):
+        li_chunks, bi_chunks, lv_chunks, off_chunks = [], [], [], []
+        for g in range(n_panels):
+            sel = np.nonzero(panel_of[s] == g)[0]
+            if len(sel) == 0:
+                continue
+            pad_g = (-len(sel)) % c
+            li_chunks.append(
+                np.concatenate([line_idx_list[s][sel], np.zeros(pad_g, np.int64)])
+            )
+            bi_chunks.append(
+                np.concatenate([block_idx_list[s][sel], np.zeros(pad_g, np.int64)])
+            )
+            lv_chunks.append(np.arange(len(sel) + pad_g) < len(sel))
+            off_chunks.extend([g * panel] * ((len(sel) + pad_g) // c))
+        if li_chunks:
+            schedules.append(
+                (
+                    np.concatenate(li_chunks),
+                    np.concatenate(bi_chunks),
+                    np.concatenate(lv_chunks),
+                    np.asarray(off_chunks, np.int32),
+                )
+            )
+        else:
+            schedules.append(
+                (
+                    np.zeros(0, np.int64),
+                    np.zeros(0, np.int64),
+                    np.zeros(0, bool),
+                    np.zeros(0, np.int32),
+                )
+            )
+
+    nc = max(max(len(off) for *_x, off in schedules), 1)
+    li_a = np.zeros((n_shards, nc * c), np.int64)
+    bi_a = np.zeros((n_shards, nc * c), np.int64)
+    lv_a = np.zeros((n_shards, nc * c), bool)
+    off_a = np.zeros((n_shards, nc), np.int32)
+    for s, (li_s, bi_s, lv_s, off_s) in enumerate(schedules):
+        li_a[s, : len(li_s)] = li_s
+        bi_a[s, : len(bi_s)] = bi_s
+        lv_a[s, : len(lv_s)] = lv_s
+        off_a[s, : len(off_s)] = off_s
+    return li_a, bi_a, lv_a, off_a, c, panel
+
+
+def _run_panel_scan(
+    tracing_nus_desc,  # [N] (local grid under sharding)
+    line_nu,  # [L] (centered frame)
+    center_idx,  # [L] device, local coordinates
+    alpha_b,  # [L, NB, B] blocked
+    gamma_b,
+    doppler_b,
+    li,  # [NC*c] pair line indices (host numpy OR traced device array)
+    bi,  # [NC*c] pair block indices
+    live,  # [NC*c] live mask (False = schedule padding)
+    offs,  # [NC] int32 slice offsets in the panel-padded accumulator
+    c: int,  # static chunk size
+    panel: int,  # static panel width; updates span 3 panels
+    phi_fn,  # voigt_profile (cores) or voigt_profile_region1 (far wings)
+    off_mask_fn,  # extra pixel mask by signed offset (core/wing selector)
+    d_nu: float,
+    window_mode: str,
+    eps_b,  # scalar or [NB, B] per-depth epsilon
+    per_depth_eps: bool,
+    acc,  # [n_nu * NB, B] carried accumulator
+    blk: int,
+    n_blocks: int,
+):
+    """Device executor for a panel_schedule: a single scan places each
+    chunk's [3*panel, NB, B] update at its slice offset with a dynamic
+    read-modify-write (sequential in the scan -> deterministic).  One scan
+    keeps the HLO small — a Python loop of per-panel scans OOM-killed the
+    XLA compile helper.
+
+    This replaces a scatter (per-row dynamic indexing, measured ~10x the
+    cost of a dense masked eval on v5e) with dense 3-panel slices whenever
+    every touched pixel of a pair provably lies within +-panel of its
+    center panel — callers must guarantee touched-halfwidth <= panel.
+
+    The index arrays may be host numpy (single-chip path) or traced device
+    arrays (per-shard schedules under shard_map, where each shard receives
+    its own slice of the stacked [ndev, ...] schedule but every shard runs
+    this same program).
+    """
+    n_nu = tracing_nus_desc.shape[0]
+    dtype = alpha_b.dtype
+    total = int(li.shape[0])
+    if total == 0:
         return acc
-
-    li_all = np.concatenate([x[0] for x in li_chunks])
-    bi_all = np.concatenate([x[1] for x in li_chunks])
-    live_all = np.concatenate([x[2] for x in li_chunks])
-    n_chunks = len(off_chunks)
-
+    n_chunks = total // c
+    n_panels = -(-n_nu // panel)
     pad_len = panel * (n_panels + 2)
+
     tr_pad = jnp.concatenate(
         [
             jnp.full((panel,), tracing_nus_desc[0], dtype),
@@ -607,13 +660,29 @@ def _accumulate_panelized(
             jnp.full((pad_len - panel - n_nu,), tracing_nus_desc[-1], dtype),
         ]
     )
-    p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps = gather(li_all, bi_all)
-    live_dev = jnp.asarray(live_all)
-    p_a = jnp.where(live_dev[:, None], p_a, 0.0)
-    p_cen = jnp.where(live_dev, p_cen, -(10 * (n_nu + pad_len)))
-    offs = jnp.asarray(off_chunks, dtype=jnp.int32)  # padded col of slice
+    li_d, bi_d = jnp.asarray(li), jnp.asarray(bi)
+    live_dev = jnp.asarray(live)
+    nb_range = jnp.arange(n_blocks)
+    p_nu = line_nu[li_d]
+    p_cen = jnp.where(live_dev, center_idx[li_d], -(10 * (n_nu + pad_len)))
+    p_a = jnp.where(live_dev[:, None], alpha_b[li_d, bi_d], 0.0)
+    p_g = gamma_b[li_d, bi_d]
+    p_d = doppler_b[li_d, bi_d]
+    p_oh = (bi_d[:, None] == nb_range[None, :]).astype(dtype)  # onehot
+    if per_depth_eps:
+        p_eps = eps_b[bi_d]
+    else:
+        p_eps = jnp.full((total, blk), eps_b, dtype=dtype)
+    offs_d = jnp.asarray(offs, dtype=jnp.int32)
     w3 = 3 * panel
     rel = jnp.arange(w3)
+
+    def win_of(c_alpha, c_gamma, c_doppler, c_eps):
+        if window_mode == "accuracy":
+            return window_pixels_accuracy(
+                c_alpha, c_gamma, c_doppler, d_nu, epsilon=c_eps
+            )
+        return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
 
     def body(acc_pad, data):
         off0, c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
@@ -649,15 +718,67 @@ def _accumulate_panelized(
             None,
         )
 
+    # seed the panel accumulator with the variance of every contributor
+    # under shard_map: the grid varies over 'nu'; on the 2-D batch x nu
+    # mesh the line quantities additionally vary over 'batch'
+    var0 = (alpha_b.reshape(-1)[0] * 0.0).astype(dtype)
     acc_pad0 = jnp.zeros((pad_len, n_blocks, blk), dtype=dtype) + (
         tr_pad[:, None, None] * 0.0
-    ).astype(dtype)
-    chunks = (offs,) + tuple(
+    ).astype(dtype) + var0
+    chunks = (offs_d,) + tuple(
         x.reshape((n_chunks, c) + x.shape[1:])
         for x in (p_nu, p_cen, p_a, p_g, p_d, p_oh, p_eps)
     )
     panel_acc, _ = jax.lax.scan(body, acc_pad0, chunks)
     return acc + panel_acc[panel : panel + n_nu].reshape(n_nu * n_blocks, blk)
+
+
+def _accumulate_panelized(
+    tracing_nus_desc,  # [N]
+    line_nu,  # [L] (centered frame)
+    center_idx,  # [L] device
+    center_idx_host,  # [L] host numpy (panel grouping)
+    alpha_b,  # [L, NB, B] blocked
+    gamma_b,
+    doppler_b,
+    line_idx,  # [P] host pair line indices
+    block_idx,  # [P] host pair block indices
+    blk: int,
+    n_blocks: int,
+    panel: int,  # static panel width (128-multiple); updates span 3 panels
+    phi_fn,  # voigt_profile (cores) or voigt_profile_region1 (far wings)
+    off_mask_fn,  # extra pixel mask by signed offset (core/wing selector)
+    d_nu: float,
+    chunk,
+    memory_budget_bytes: int,
+    window_mode: str,
+    eps_b,  # scalar or [NB, B] per-depth epsilon
+    per_depth_eps: bool,
+    acc,  # [n_nu * NB, B] carried accumulator
+):
+    """Panel-grouped accumulation with host index arrays: panel_schedule
+    (host grouping/padding) + _run_panel_scan (device scan).  Used for
+    (a) the full-Voigt cores of the split dense path and (b) both passes
+    of the split wide-window tiers."""
+    n_nu = tracing_nus_desc.shape[0]
+    dtype = alpha_b.dtype
+    line_idx = np.asarray(line_idx, dtype=np.int64)
+    if len(line_idx) == 0:
+        return acc
+    li_a, bi_a, lv_a, off_a, c, panel = panel_schedule(
+        [np.asarray(center_idx_host)[line_idx]],
+        [line_idx],
+        [np.asarray(block_idx, dtype=np.int64)],
+        n_nu, panel, chunk, memory_budget_bytes, blk,
+        jnp.dtype(dtype).itemsize,
+    )
+    return _run_panel_scan(
+        tracing_nus_desc, line_nu, center_idx,
+        alpha_b, gamma_b, doppler_b,
+        li_a[0], bi_a[0], lv_a[0], off_a[0], c, panel,
+        phi_fn, off_mask_fn, d_nu, window_mode,
+        eps_b, per_depth_eps, acc, blk, n_blocks,
+    )
 
 
 def _accumulate_dense_split(
@@ -992,6 +1113,25 @@ def accumulate_line_opacity_blocked(
     return out.T  # [D, N]
 
 
+def _resolve_phi_mask(meta):
+    """Static phi/offset-mask selectors from a program meta dict."""
+    from stardis_tpu.opacities.voigt import voigt_profile_region1
+
+    phi_fn = (
+        voigt_profile_region1 if meta.get("phi") == "region1" else voigt_profile
+    )
+    mask = meta.get("mask", ("all",))
+    if mask[0] == "core":
+        ch = mask[1]
+        off_mask_fn = lambda off: jnp.abs(off) < ch  # noqa: E731
+    elif mask[0] == "wing":
+        ch = mask[1]
+        off_mask_fn = lambda off: jnp.abs(off) >= ch  # noqa: E731
+    else:
+        off_mask_fn = lambda off: jnp.ones(off.shape, bool)  # noqa: E731
+    return phi_fn, off_mask_fn
+
+
 def accumulate_pairs_blocked(
     tracing_nus_desc,  # [N] local grid (descending, centered frame)
     line_nu,  # [L] device (centered frame)
@@ -999,11 +1139,12 @@ def accumulate_pairs_blocked(
     alpha,  # [L, D]
     gamma,  # [L, D]
     doppler,  # [L, D]
-    pair_tiers,  # list of (li [P], bi [P], live [P], window int); li/bi/live
-    #              are DEVICE arrays (traced) — unlike the host-index tiers
-    #              of accumulate_line_opacity_blocked — so per-shard pair
-    #              subsets can differ under shard_map while every shard runs
-    #              the same program
+    pair_tiers,  # list of (li [P], bi [P], live [P], window int) — legacy —
+    #              or, with ``metas``, (li [P], bi [P], live [P], offs|None);
+    #              li/bi/live/offs are DEVICE arrays (traced) — unlike the
+    #              host-index tiers of accumulate_line_opacity_blocked — so
+    #              per-shard pair subsets can differ under shard_map while
+    #              every shard runs the same program
     blk: int,
     n_blocks: int,
     d_nu: float,
@@ -1011,6 +1152,7 @@ def accumulate_pairs_blocked(
     memory_budget_bytes: int = 1 << 29,
     window_mode: str = "reference",
     window_epsilon=1e-12,  # scalar or per-depth [1, D] array
+    metas=None,  # static per-program dicts (see bucket_pair_programs)
 ):
     """Depth-blocked tiered accumulation over TRACED (line, depth-block)
     pair lists -> [D, N].
@@ -1019,15 +1161,22 @@ def accumulate_pairs_blocked(
     each shard only the pairs whose tier window overlaps its local pixel
     range; the pair subsets differ per shard, so the index arrays must be
     runtime data, not compile-time constants.  Physics and windowing match
-    accumulate_line_opacity_blocked exactly:
+    accumulate_line_opacity_blocked exactly.  Program kinds (``metas``;
+    built host-side by parallel.sharding.bucket_pair_programs_per_shard,
+    which mirrors accumulate_line_opacity_blocked's panel/split/dense
+    structure so the sharded hot path runs the same scatter-free kernels
+    as the single-chip one):
 
-    * narrow tiers scatter-add window-masked Voigt rows into the flat
+    * ``panel``: 3-panel dynamic-slice updates on a host-built, per-shard
+      panel_schedule (traced slice offsets), full-Voigt cores and/or
+      region-I far wings — no scatter rows;
+    * ``dense``: grid-covering (locally dense) programs evaluate every
+      local pixel and route each pair to its depth block by a one-hot
+      matmul; with ``phi``/``mask`` set this also runs the region-I wing
+      pass of the split dense path;
+    * ``scatter``: window-masked Voigt rows scatter-add into the flat
       [N * n_blocks, blk] accumulator (``mode="drop"`` keeps the partition
-      exact across shards);
-    * grid-covering (locally dense) tiers evaluate every local pixel and
-      route each pair to its depth block by a one-hot matmul (the dense
-      promotion of accumulate_line_opacity_blocked groups pairs per block
-      with host indices, which a traced ``bi`` cannot do);
+      exact across shards) — the fallback when no host schedule exists;
     * dead (padding) pairs carry live=False: their alpha is zeroed and the
       center is moved off-grid, so they contribute exactly 0.
     """
@@ -1074,11 +1223,41 @@ def accumulate_pairs_blocked(
     ).astype(dtype) + var0
     acc = acc.reshape(n_nu * n_blocks, blk)
 
-    for li, bi, live, w in pair_tiers:
+    if metas is None:
+        programs = [
+            (
+                (li, bi, live, None),
+                {
+                    "kind": (
+                        "dense" if is_dense_tier(w, n_nu) else "scatter"
+                    ),
+                    "window": int(w),
+                },
+            )
+            for (li, bi, live, w) in pair_tiers
+        ]
+    else:
+        programs = list(zip(pair_tiers, metas))
+
+    for (li, bi, live, offs), meta in programs:
         n_pairs = int(li.shape[0])
         if n_pairs == 0:
             continue
-        dense = is_dense_tier(w, n_nu)
+        if meta["kind"] == "panel":
+            phi_fn, off_mask_fn = _resolve_phi_mask(meta)
+            acc = _run_panel_scan(
+                tracing_nus_desc, line_nu, center_idx,
+                alpha_b, gamma_b, doppler_b,
+                li, bi, live, offs,
+                c=meta["chunk"], panel=meta["panel"],
+                phi_fn=phi_fn, off_mask_fn=off_mask_fn,
+                d_nu=d_nu, window_mode=window_mode,
+                eps_b=eps_b, per_depth_eps=per_depth_eps,
+                acc=acc, blk=blk, n_blocks=n_blocks,
+            )
+            continue
+        w = meta["window"]
+        dense = meta["kind"] == "dense"
         width = n_nu if dense else w
         c = chunk
         if c is None:
@@ -1112,9 +1291,10 @@ def accumulate_pairs_blocked(
             return window_pixels(c_alpha, c_gamma, c_doppler, d_nu)
 
         if dense:
+            phi_fn, off_mask_fn = _resolve_phi_mask(meta)
             p_oh = (bi[:, None] == nb_range[None, :]).astype(dtype)  # [P, NB]
 
-            def dense_body(carry, data):
+            def dense_body(carry, data, _phi=phi_fn, _om=off_mask_fn):
                 c_nu, c_cen, c_a, c_g, c_d, c_oh, c_eps = data
                 off = cols[None, :] - c_cen[:, None]  # [C, N] int offsets
                 dnu = tracing_nus_desc[None, :] - c_nu[:, None]
@@ -1123,7 +1303,8 @@ def accumulate_pairs_blocked(
                 within = (off[:, None, :] >= -iw[:, :, None]) & (
                     off[:, None, :] < iw[:, :, None]
                 )  # [C, B, N]
-                phi = voigt_profile(
+                within = within & _om(off)[:, None, :]
+                phi = _phi(
                     dnu[:, None, :], c_d[:, :, None], c_g[:, :, None]
                 )
                 contrib = jnp.where(within, phi * c_a[:, :, None], 0.0)

@@ -35,6 +35,10 @@ from stardis_tpu.opacities.line_kernel import (
     accumulate_pairs_blocked,
     is_dense_tier,
     line_center_indices,
+    panel_schedule,
+    split_enabled,
+    split_panel,
+    use_panelized,
 )
 from stardis_tpu.pipeline import SimulationPlan, compute_continuum
 from stardis_tpu.radiation_field.blackbody import blackbody_flux_at_nu
@@ -124,6 +128,138 @@ def bucket_pairs_per_shard(window_spec, centers_global, n_depth,
     return out, blk, n_blocks
 
 
+def bucket_pair_programs_per_shard(
+    window_spec,
+    centers_global,
+    n_depth,
+    n_nu_global,
+    ndev,
+    per_shard,
+    chunk=None,
+    itemsize=4,
+    memory_budget_bytes=1 << 29,
+):
+    """Host-side shard-aware PROGRAM builder: bucket (line, depth-block)
+    pairs per shard (same overlap rule as bucket_pairs_per_shard) AND
+    compile each tier into the same scatter-free kernel structure the
+    single-chip path runs (accumulate_line_opacity_blocked's
+    panel/split/dense dispatch):
+
+    * narrow tiers (4*w <= per_shard) with a known split core become 1-2
+      ``panel`` programs — full-Voigt cores within +-core_half and, when
+      the window exceeds 4x the core, region-I far wings out to the true
+      window — on per-shard panel_schedules (traced slice offsets; no
+      scatter rows);
+    * locally-dense tiers (64*w >= per_shard) become a one-hot-matmul
+      ``dense`` program, split into a region-I wing pass + a panelized
+      core pass when the split is enabled;
+    * everything else (or when core_half is unknown, e.g. per-line tier
+      lists) falls back to a ``scatter`` program.
+
+    Every shard runs ONE program per entry; per-shard schedules are padded
+    to common shapes (live=False / dead chunks).  Returns
+    (arrays, metas, blk, n_blocks): arrays[i] = (li [ndev, P], bi, live,
+    offs [ndev, NC] | None) host numpy, metas[i] the static program dict
+    consumed by accumulate_pairs_blocked.
+    """
+    pair_tiers, blk, n_blocks = _as_pair_tiers(window_spec, n_depth)
+    core_half = getattr(window_spec, "core_half", None)
+    full = int(np.ceil(2 * n_nu_global / 128.0) * 128)
+    arrays, metas = [], []
+    for li, bi, w in pair_tiers:
+        li = np.asarray(li, dtype=np.int64)
+        bi = np.asarray(bi, dtype=np.int64)
+        if len(li) == 0:
+            continue
+        if w >= full:
+            # grid-covering tier: every shard needs every pair
+            sels = [np.ones(len(li), bool)] * ndev
+        else:
+            c = centers_global[li]
+            lo = c - w // 2 - 1
+            hi = c + (w - w // 2) + 1
+            sels = [
+                (hi > s * per_shard) & (lo < (s + 1) * per_shard)
+                for s in range(ndev)
+            ]
+        li_s = [li[sel] for sel in sels]
+        bi_s = [bi[sel] for sel in sels]
+        cen_s = [
+            centers_global[li[sel]] - s * per_shard
+            for s, sel in enumerate(sels)
+        ]
+        if all(len(x) == 0 for x in li_s):
+            continue
+
+        def _panel_prog(panel0, phi, mask, _w=w):
+            li_a, bi_a, lv_a, off_a, c_sz, panel = panel_schedule(
+                cen_s, li_s, bi_s, per_shard, panel0, chunk,
+                memory_budget_bytes, blk, itemsize,
+            )
+            arrays.append((li_a, bi_a, lv_a, off_a))
+            metas.append(
+                {
+                    "kind": "panel", "panel": panel, "chunk": c_sz,
+                    "phi": phi, "mask": mask, "window": int(_w),
+                }
+            )
+
+        def _stacked():
+            pmax = max(len(x) for x in li_s)
+            pmax = max(8, -(-pmax // 8) * 8)
+            li_a = np.zeros((ndev, pmax), np.int64)
+            bi_a = np.zeros((ndev, pmax), np.int64)
+            lv_a = np.zeros((ndev, pmax), bool)
+            for s in range(ndev):
+                k = len(li_s[s])
+                li_a[s, :k] = li_s[s]
+                bi_a[s, :k] = bi_s[s]
+                lv_a[s, :k] = True
+            return li_a, bi_a, lv_a
+
+        if core_half and use_panelized(w, per_shard):
+            if 4 * core_half <= w:
+                # split tier: full-Voigt cores + region-I far wings,
+                # both panelized (mirrors accumulate_line_opacity_blocked)
+                _panel_prog(
+                    split_panel(core_half), "voigt", ("core", core_half)
+                )
+                _panel_prog(
+                    int(np.ceil((w // 2) / 128.0) * 128),
+                    "region1", ("wing", core_half),
+                )
+            else:
+                # core-dominated window: one panelized full-Voigt pass
+                _panel_prog(
+                    int(np.ceil(max(w // 2, 128) / 128.0) * 128),
+                    "voigt", ("all",),
+                )
+        elif is_dense_tier(w, per_shard):
+            if split_enabled(core_half, centers_global, per_shard):
+                # split dense: region-I wings at every local pixel
+                # (one-hot routed) + panelized full-Voigt cores
+                li_a, bi_a, lv_a = _stacked()
+                arrays.append((li_a, bi_a, lv_a, None))
+                metas.append(
+                    {
+                        "kind": "dense", "phi": "region1",
+                        "mask": ("wing", core_half), "window": int(w),
+                    }
+                )
+                _panel_prog(
+                    split_panel(core_half), "voigt", ("core", core_half)
+                )
+            else:
+                li_a, bi_a, lv_a = _stacked()
+                arrays.append((li_a, bi_a, lv_a, None))
+                metas.append({"kind": "dense", "window": int(w)})
+        else:
+            li_a, bi_a, lv_a = _stacked()
+            arrays.append((li_a, bi_a, lv_a, None))
+            metas.append({"kind": "scatter", "window": int(w)})
+    return arrays, metas, blk, n_blocks
+
+
 def shard_eval_stats(window, centers_by_key, n_depth, n_nu_global, ndev):
     """Host-only meter: per-shard window-masked Voigt-eval budgets under the
     bucketed sharding vs the unsharded budget — the scaling-efficiency
@@ -142,20 +278,38 @@ def shard_eval_stats(window, centers_by_key, n_depth, n_nu_global, ndev):
         "per_shard_evals": np.zeros(ndev, dtype=np.int64),
         "unsharded_evals": 0,
     }
+
+    def _program_evals(arrays, metas, blk, local_width):
+        # live pairs x program eval width x depth block (panel programs
+        # evaluate a 3-panel slice per pair; dense evaluate every local
+        # pixel; scatter the tier window) — schedule padding excluded
+        ev = np.zeros(arrays[0][0].shape[0], dtype=np.int64) if arrays else 0
+        for (li_a, bi_a, lv_a, off_a), meta in zip(arrays, metas):
+            if meta["kind"] == "panel":
+                width = 3 * meta["panel"]
+            elif meta["kind"] == "dense":
+                width = local_width
+            else:
+                width = meta["window"]
+            ev = ev + lv_a.sum(axis=1).astype(np.int64) * width * blk
+        return ev
+
     for key, spec in (window or {}).items():
         if not isinstance(spec, (BlockedTiers, list, tuple)):
             continue
         centers = centers_by_key[key]
-        tiers, blk, _ = bucket_pairs_per_shard(
+        arrays, metas, blk, _ = bucket_pair_programs_per_shard(
             spec, centers, n_depth, n_nu_global, ndev, per_shard
         )
-        pair_tiers, _, _ = _as_pair_tiers(spec, n_depth)
-        for li, bi, w in pair_tiers:
-            width = n_nu_global if is_dense_tier(w, n_nu_global) else w
-            stats["unsharded_evals"] += len(li) * width * blk
-        for li_a, bi_a, lv_a, w in tiers:
-            width = per_shard if is_dense_tier(w, per_shard) else w
-            stats["per_shard_evals"] += lv_a.sum(axis=1) * width * blk
+        stats["per_shard_evals"] += _program_evals(
+            arrays, metas, blk, per_shard
+        )
+        arrays1, metas1, blk1, _ = bucket_pair_programs_per_shard(
+            spec, centers, n_depth, n_nu_global, 1, n_nu_global
+        )
+        stats["unsharded_evals"] += int(
+            np.sum(_program_evals(arrays1, metas1, blk1, n_nu_global))
+        )
     peak = int(stats["per_shard_evals"].max()) if ndev else 0
     stats["per_shard_evals"] = stats["per_shard_evals"].tolist()
     stats["efficiency"] = (
@@ -265,14 +419,15 @@ def shard_batch_spectrum(
         spec = window[key]
         if not isinstance(spec, (BlockedTiers, list, tuple)):
             raise ValueError("the 2-D mesh path needs tiered windows")
-        tiers, blk, n_blocks = bucket_pairs_per_shard(
-            spec, centers_host[key], n_depth, n_padded, ndev_nu, per_shard
+        arrays, metas, blk, n_blocks = bucket_pair_programs_per_shard(
+            spec, centers_host[key], n_depth, n_padded, ndev_nu, per_shard,
+            chunk=chunk, itemsize=jnp.dtype(dtype).itemsize,
         )
         pair_args[key] = [
-            (jnp.asarray(li), jnp.asarray(bi), jnp.asarray(lv))
-            for li, bi, lv, _w in tiers
+            tuple(None if a is None else jnp.asarray(a) for a in arrs)
+            for arrs in arrays
         ]
-        pair_meta[key] = ([w for *_x, w in tiers], blk, n_blocks)
+        pair_meta[key] = (metas, blk, n_blocks)
 
     accuracy = plan.window_mode == "accuracy"
 
@@ -284,8 +439,8 @@ def shard_batch_spectrum(
         )
         tiers_local = {
             key: [
-                (li[0], bi[0], lv[0])
-                for (li, bi, lv) in pair_rep[key]
+                tuple(None if a is None else a[0] for a in arrs)
+                for arrs in pair_rep[key]
             ]
             for key in pair_rep
         }
@@ -304,17 +459,14 @@ def shard_batch_spectrum(
             eps = ep[None, :] if accuracy else plan.window_epsilon
             for key, (alpha, gamma, doppler) in (q or {}).items():
                 line_nu_dev, centers_dev = line_sets[key]
-                ws, blk, n_blocks = pair_meta[key]
+                metas, blk, n_blocks = pair_meta[key]
                 alpha_line = accumulate_pairs_blocked(
                     nus_local_centered, line_nu_dev, centers_dev - offset,
-                    alpha, gamma, doppler,
-                    [
-                        (li, bi, lv, w)
-                        for (li, bi, lv), w in zip(tiers_local[key], ws)
-                    ],
+                    alpha, gamma, doppler, tiers_local[key],
                     blk=blk, n_blocks=n_blocks,
                     d_nu=plan.d_nu, chunk=chunk,
                     window_mode=plan.window_mode, window_epsilon=eps,
+                    metas=metas,
                 )
                 total = total + alpha_line
             source = blackbody_flux_at_nu(nus_local, s.t)
@@ -445,25 +597,28 @@ def shard_spectrum(
     nu_full = jnp.asarray(nus_padded, dtype=dtype)
     nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
 
-    # shard-aware line bucketing (host side): per tier, stack per-shard
-    # pair lists [ndev, P] so each shard only evaluates pairs whose window
-    # overlaps its grid chunk (plus the boundary halo) — the fix for
-    # every-shard-processes-every-pair scaling
+    # shard-aware line bucketing (host side): per tier, compile the same
+    # panel/split/dense program structure the single-chip kernel runs and
+    # stack per-shard schedules [ndev, ...] so each shard only evaluates
+    # pairs whose window overlaps its grid chunk (plus the boundary halo)
+    # — the fix for every-shard-processes-every-pair scaling, now at the
+    # single-chip path's scatter-free cost per eval
     n_depth = len(plan.temperatures)
-    pair_args = {}  # traced leaves: key -> [(li, bi, live), ...]
-    pair_meta = {}  # static: key -> ([w, ...], blk, n_blocks)
+    pair_args = {}  # traced leaves: key -> [(li, bi, live, offs|None), ...]
+    pair_meta = {}  # static: key -> (program metas, blk, n_blocks)
     for key in line_sets:
         spec = window[key] if isinstance(window, dict) else window
         if not isinstance(spec, (BlockedTiers, list, tuple)):
             continue  # plain int window: replicated path below
-        tiers, blk, n_blocks = bucket_pairs_per_shard(
-            spec, centers_host[key], n_depth, n_padded, ndev, per_shard
+        arrays, metas, blk, n_blocks = bucket_pair_programs_per_shard(
+            spec, centers_host[key], n_depth, n_padded, ndev, per_shard,
+            chunk=chunk, itemsize=jnp.dtype(dtype).itemsize,
         )
         pair_args[key] = [
-            (jnp.asarray(li), jnp.asarray(bi), jnp.asarray(lv))
-            for li, bi, lv, _w in tiers
+            tuple(None if a is None else jnp.asarray(a) for a in arrs)
+            for arrs in arrays
         ]
-        pair_meta[key] = ([w for *_x, w in tiers], blk, n_blocks)
+        pair_meta[key] = (metas, blk, n_blocks)
 
     # padded tail: weight 0 so duplicated edge frequencies don't distort
     # nothing downstream (they're sliced off at the end anyway)
@@ -489,12 +644,12 @@ def shard_spectrum(
             line_nu_dev, centers_dev = line_sets[key]
             spec = window[key] if isinstance(window, dict) else window
             if key in pair_meta:
-                # bucketed tiers: this shard's own pair subset (leading
+                # bucketed programs: this shard's own schedule (leading
                 # [ndev, ...] axis was sharded by shard_map -> local [1, P])
-                ws, blk, n_blocks = pair_meta[key]
+                metas, blk, n_blocks = pair_meta[key]
                 tiers_local = [
-                    (li[0], bi[0], lv[0], w)
-                    for (li, bi, lv), w in zip(pair_rep[key], ws)
+                    tuple(None if a is None else a[0] for a in arrs)
+                    for arrs in pair_rep[key]
                 ]
                 alpha_line = accumulate_pairs_blocked(
                     nus_local_centered, line_nu_dev, centers_dev - offset,
@@ -502,6 +657,7 @@ def shard_spectrum(
                     blk=blk, n_blocks=n_blocks,
                     d_nu=plan.d_nu, chunk=chunk,
                     window_mode=plan.window_mode, window_epsilon=eps,
+                    metas=metas,
                 )
             else:
                 alpha_line = accumulate_line_opacity(

@@ -135,19 +135,19 @@ class SpectralService:
                     np.asarray(win) * self._tier_margin, n_nu,
                     block=plan.window_block,
                 )
-                if self._mesh is None:
-                    # split-dense core width, with the tier margin so
-                    # hotter requests (larger doppler) stay in the frozen
-                    # core; the sharded path never splits, so a mesh-backed
-                    # service leaves core_half unset (no spurious re-tiers)
-                    from stardis_tpu.opacities.line_kernel import (
-                        split_core_half,
-                    )
+                # split-dense core width, with the tier margin so hotter
+                # requests (larger doppler) stay in the frozen core; the
+                # sharded path panelizes/splits from the same core_half
+                # via bucket_pair_programs_per_shard, so mesh-backed
+                # services set it too
+                from stardis_tpu.opacities.line_kernel import (
+                    split_core_half,
+                )
 
-                    bt.core_half = split_core_half(
-                        float(jnp.max(doppler)), plan.d_nu,
-                        margin=self._tier_margin,
-                    )
+                bt.core_half = split_core_half(
+                    float(jnp.max(doppler)), plan.d_nu,
+                    margin=self._tier_margin,
+                )
                 window[key] = bt
             else:  # user opted into per-line tiers
                 window[key] = assign_window_tiers(

@@ -6,6 +6,12 @@ mesh (devices from both processes), and saves its addressable output
 shards for the parent test to reassemble.
 
 Usage: python multihost_worker.py <coordinator> <n_proc> <proc_id> <outdir>
+       [mode]
+
+mode "nu" (default): 1-D wavelength sharding over the global mesh.
+mode "batchnu": the 2-D batch x nu mesh from distributed.make_batch_nu_mesh
+(batch rows across processes — the DCN axis on real pods — nu within each
+process's devices), exercising run_batch's sharded stage live.
 """
 
 import os
@@ -19,6 +25,7 @@ def main():
     coordinator, n_proc, proc_id, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "nu"
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
@@ -80,6 +87,34 @@ def main():
     lam = np.arange(6560.0, 6570.0, 0.05)
     nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
     plan = build_simulation_plan(config, adata, model, nus)
+
+    if mode == "batchnu":
+        # 2-D mesh live: batch rows across the two processes (the DCN axis
+        # on a real pod), nu over each process's local devices
+        from stardis_tpu.parallel.batch import BatchInputs, run_batch
+
+        temps_b = np.stack(
+            [plan.temperatures * s for s in (0.97, 1.03)]
+        )
+        batch = BatchInputs(
+            temperatures=temps_b,
+            n_elem=np.broadcast_to(
+                plan.n_elem, (2,) + plan.n_elem.shape
+            ).copy(),
+            ray_distances=np.broadcast_to(
+                plan.ray_distances, (2,) + plan.ray_distances.shape
+            ).copy(),
+        )
+        mesh = distributed.make_batch_nu_mesh(2)
+        f_b = run_batch(plan, batch, mesh=mesh)
+        shards = {}
+        for shard in f_b.addressable_shards:
+            b0 = shard.index[0].start or 0
+            col0 = shard.index[2].start or 0
+            shards[f"b{b0}_col{col0}"] = np.asarray(shard.data)
+        np.savez(os.path.join(outdir, f"shards_{proc_id}.npz"), **shards)
+        print(f"proc {proc_id}: wrote {len(shards)} 2-D shards", flush=True)
+        return
 
     state, lq = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))(
         jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem)

@@ -20,8 +20,7 @@ jax = pytest.importorskip("jax")
 WORKER = Path(__file__).parent / "multihost_worker.py"
 
 
-@pytest.mark.slow
-def test_two_process_global_mesh(tmp_path):
+def _run_workers(tmp_path, mode):
     import socket
 
     # find a free localhost port for the coordinator
@@ -42,7 +41,7 @@ def test_two_process_global_mesh(tmp_path):
         subprocess.Popen(
             [
                 sys.executable, str(WORKER), coordinator, "2", str(i),
-                str(tmp_path),
+                str(tmp_path), mode,
             ],
             env=env,
             cwd=str(Path(__file__).parent.parent),
@@ -63,6 +62,11 @@ def test_two_process_global_mesh(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh(tmp_path):
+    _run_workers(tmp_path, "nu")
 
     # reassemble the nu-sharded output from both processes' shards
     shards = {}
@@ -90,4 +94,52 @@ def test_two_process_global_mesh(tmp_path):
     f_ref, *_ = run_simulation(plan)
     np.testing.assert_allclose(
         f_nu[:, : f_ref.shape[1]], np.asarray(f_ref), rtol=1e-10, atol=0
+    )
+
+
+@pytest.mark.slow
+def test_two_process_batch_nu_mesh(tmp_path):
+    """LIVE 2-D mesh across processes: batch rows over the process (DCN)
+    axis, nu over each process's local devices — the make_batch_nu_mesh
+    composition (parallel/distributed.py) executing for real, not just on
+    a single-process virtual mesh."""
+    _run_workers(tmp_path, "batchnu")
+
+    # reassemble the (batch, nu)-sharded output from both processes
+    pieces = {}
+    for i in range(2):
+        data = np.load(tmp_path / f"shards_{i}.npz")
+        for key in data.files:
+            b0, col0 = key[1:].split("_col")
+            pieces[(int(b0), int(col0))] = data[key]
+    assert len({b for b, _c in pieces}) == 2  # both batch rows present
+    rows = []
+    for b in sorted({b for b, _c in pieces}):
+        cols = sorted(c for bb, c in pieces if bb == b)
+        rows.append(
+            np.concatenate([pieces[(b, c)] for c in cols], axis=2)
+        )
+    f_b = np.concatenate(rows, axis=0)  # [B, D, N]
+
+    from stardis_tpu import parse_config_to_model, units as u
+    from stardis_tpu.parallel.batch import BatchInputs, run_batch
+    from stardis_tpu.pipeline import build_simulation_plan
+
+    config, adata, model = parse_config_to_model(str(tmp_path / "c0.yml"))
+    lam = np.arange(6560.0, 6570.0, 0.05)
+    nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
+    plan = build_simulation_plan(config, adata, model, nus)
+    temps_b = np.stack([plan.temperatures * s for s in (0.97, 1.03)])
+    batch = BatchInputs(
+        temperatures=temps_b,
+        n_elem=np.broadcast_to(
+            plan.n_elem, (2,) + plan.n_elem.shape
+        ).copy(),
+        ray_distances=np.broadcast_to(
+            plan.ray_distances, (2,) + plan.ray_distances.shape
+        ).copy(),
+    )
+    f_ref = run_batch(plan, batch)  # single-process vmapped reference
+    np.testing.assert_allclose(
+        f_b[:, :, : f_ref.shape[2]], np.asarray(f_ref), rtol=1e-10, atol=0
     )
