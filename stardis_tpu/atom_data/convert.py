@@ -199,11 +199,13 @@ def _level_g(levels, lines, level_col):
 def load_carsus_store(path) -> dict:
     """Read a carsus store into the logical-frame dict.
 
-    Prefers the pytables reader (handles every pandas HDFStore format);
-    when the ``tables`` package is missing, falls back to the h5py
-    fixed-format reader (atom_data/synthetic_carsus.py), which decodes the
-    pandas ``format="fixed"`` layout carsus stores use — 'table'-format
-    groups still require pytables and raise a clear error."""
+    Prefers the pytables reader when the ``tables`` package is installed;
+    otherwise falls back to the h5py readers, which decode BOTH pandas
+    HDFStore layouts: ``format="fixed"`` groups
+    (atom_data/synthetic_carsus.py) and ``format="table"`` pytables-Table
+    groups (atom_data/table_format.py, globals-free attr unpickling), so
+    a real carsus store converts regardless of which pandas writer
+    produced it."""
     try:
         import tables  # noqa: F401
 

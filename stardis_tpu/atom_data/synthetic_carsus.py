@@ -389,8 +389,8 @@ def read_store_group(grp):
                          name=_attr_str(ds, "name"))
     if ptype != "frame":
         raise ValueError(
-            f"unsupported pandas_type {ptype!r} (only fixed-format frames/"
-            "series; 'table'-format stores need the pytables reader)"
+            f"unsupported pandas_type {ptype!r} (fixed-format frames/series"
+            " here; table-format groups route to atom_data.table_format)"
         )
     cols_order = _read_index(grp, "axis0")
     idx = _read_index(grp, "axis1")
@@ -407,9 +407,17 @@ def read_store_group(grp):
 
 
 def read_fixed_store(path) -> dict:
-    """h5py fallback for convert.load_carsus_store: read every
-    pandas-fixed-format group keyed by its store path."""
+    """h5py fallback for convert.load_carsus_store: read every pandas
+    HDFStore group keyed by its store path — ``fixed``-format groups via
+    read_store_group, ``table``-format (pytables Table) groups via
+    atom_data.table_format.read_table_group.  Mixed stores are fine; real
+    carsus files ship in both formats depending on the pandas writer."""
     import h5py
+
+    from stardis_tpu.atom_data.table_format import (
+        is_table_group,
+        read_table_group,
+    )
 
     out = {}
 
@@ -417,7 +425,10 @@ def read_fixed_store(path) -> dict:
         import h5py as _h5
 
         if isinstance(obj, _h5.Group) and "pandas_type" in obj.attrs:
-            out[name] = read_store_group(obj)
+            if is_table_group(obj):
+                out[name] = read_table_group(obj)
+            else:
+                out[name] = read_store_group(obj)
             return None
         return None
 

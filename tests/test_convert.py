@@ -146,6 +146,132 @@ def test_load_carsus_store_h5py_fallback(tmp_path):
     )
 
 
+def test_load_carsus_store_table_format(tmp_path):
+    """pandas format="table" (pytables Table layout) stores read through
+    the same h5py fallback — round-3 verdict #8: the converter must work
+    regardless of which pandas writer produced the store."""
+    from stardis_tpu.atom_data.table_format import write_table_store
+
+    frames = carsus_frames()
+    path = tmp_path / "store_table.h5"
+    write_table_store(frames, path)
+    back = load_carsus_store(str(path))
+    assert {"atom_data", "ionization_data", "levels", "lines",
+            "linelist_atoms"} <= set(back)
+    # MultiIndex frames restore levels + dtypes-compatible values
+    pd.testing.assert_frame_equal(
+        back["levels"].astype({"g": float}),
+        frames["levels"].astype({"g": float}),
+        check_dtype=False, check_index_type=False,
+    )
+    # MultiIndex Series (appendable_multiseries) restores index + name
+    ion = back["ionization_data"]
+    assert isinstance(ion, pd.Series)
+    np.testing.assert_allclose(
+        ion.values, frames["ionization_data"].values
+    )
+    assert list(ion.index.names) == ["atomic_number", "ion_number"]
+    # the whole converter chain runs on the table-format store
+    adata = convert_frames(back)
+    np.testing.assert_allclose(
+        adata.lines.iloc[0].f_lu, 0.8324 / 2.0, rtol=1e-12
+    )
+    assert adata.linelist_atoms.iloc[0].waals == -7.8
+
+
+def test_load_carsus_store_mixed_formats(tmp_path):
+    """Stores mixing fixed- and table-format groups (pandas allows this
+    per-key) read as one logical dict."""
+    from stardis_tpu.atom_data.synthetic_carsus import write_store
+    from stardis_tpu.atom_data.table_format import write_table_store
+    import h5py
+
+    frames = carsus_frames()
+    fixed_part = {k: frames[k] for k in ("atom_data", "ionization_data")}
+    table_part = {k: frames[k] for k in ("levels", "lines",
+                                         "linelist_atoms")}
+    path = tmp_path / "mixed.h5"
+    write_store(fixed_part, path)
+    # append table-format groups into the same file
+    with h5py.File(path, "a"):
+        pass
+    import stardis_tpu.atom_data.table_format as tf
+
+    with h5py.File(path, "a") as f:
+        for logical, obj in table_part.items():
+            if isinstance(obj.index, pd.MultiIndex):
+                levels = list(obj.index.names)
+                tf._write_table(f, logical, obj.reset_index(), "index",
+                                levels=levels)
+            else:
+                tf._write_table(f, logical, obj,
+                                obj.index.name or "index")
+    back = load_carsus_store(str(path))
+    adata = convert_frames(back)
+    assert len(adata.levels) == 5 and len(adata.lines) == 1
+
+
+def test_table_format_attr_unpickler_refuses_globals(tmp_path):
+    """A malicious pickle in a store attr must NOT construct objects —
+    the globals-free unpickler falls back to raw bytes instead."""
+    import pickle
+
+    from stardis_tpu.atom_data.table_format import _unpickle_attr
+
+    canary = tmp_path / "owned"
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, (f"touch {canary}",))
+
+    payload = pickle.dumps(Evil())
+    out = _unpickle_attr(payload)
+    assert not canary.exists(), "pickle payload executed!"
+    assert not isinstance(out, list)  # not parsed as bookkeeping
+    # legitimate bookkeeping attrs still decode
+    assert _unpickle_attr(pickle.dumps([(1, ["a", "b"])], 0)) == [
+        (1, ["a", "b"])
+    ]
+
+
+def test_fixed_and_table_formats_convert_identically(tmp_path):
+    """The same synthetic carsus frames (incl. molecule tables with float
+    column names) written in BOTH HDFStore layouts convert to identical
+    native AtomData."""
+    from stardis_tpu.atom_data.synthetic_carsus import (
+        build_carsus_frames,
+        write_store,
+    )
+    from stardis_tpu.atom_data.table_format import write_table_store
+
+    frames = build_carsus_frames(
+        z_max=8, n_lines=2000, n_vald_lines=1500, levels_per_ion=24
+    )
+    p_fixed = tmp_path / "fixed.h5"
+    p_table = tmp_path / "table.h5"
+    write_store(frames, p_fixed)
+    write_table_store(frames, p_table)
+    a = convert_frames(load_carsus_store(str(p_fixed)))
+    b = convert_frames(load_carsus_store(str(p_table)))
+    pd.testing.assert_frame_equal(
+        a.levels, b.levels, check_dtype=False, check_index_type=False
+    )
+    np.testing.assert_allclose(a.lines.nu.values, b.lines.nu.values)
+    np.testing.assert_allclose(a.lines.A_ul.values, b.lines.A_ul.values)
+    np.testing.assert_allclose(
+        a.linelist_atoms.waals.values, b.linelist_atoms.waals.values
+    )
+    np.testing.assert_allclose(
+        a.molecule_data.equilibrium_constants.values,
+        b.molecule_data.equilibrium_constants.values,
+    )
+    assert list(a.molecule_data.equilibrium_constants.columns) == list(
+        b.molecule_data.equilibrium_constants.columns
+    )
+
+
 def test_load_carsus_store_missing_tables_error(tmp_path):
     """A store lacking the required tables raises a clear ValueError."""
     import h5py
