@@ -11,12 +11,16 @@ Entry points: ``run_stardis`` (one-shot synthesis),
 ``serving.SpectralService`` (compiled-plan serving),
 ``parallel.batch.run_batch`` (atmosphere grids; 1-D batch or 2-D
 batch x nu meshes), ``parallel.sharding.shard_spectrum``
-(wavelength-sharded meshes with host-side bucketed line pairs),
-``atom_data.convert`` (carsus-store converter CLI).
+(wavelength-sharded meshes running the same scatter-free panel
+programs as the single-chip hot path, via host-side per-shard panel
+schedules), ``postprocessing`` (differentiable JAX rotational +
+instrumental broadening), ``atom_data.convert`` (carsus-store
+converter CLI; reads fixed- AND table-format pandas stores without
+pytables).
 """
 
 from stardis_tpu.base import STARDISOutput, parse_config_to_model, run_stardis
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = ["run_stardis", "STARDISOutput", "parse_config_to_model"]
