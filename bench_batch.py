@@ -91,7 +91,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_iter):
         f = run_batch(plan, batch)
-    jax.block_until_ready(f)
+        jax.block_until_ready(f)  # per-iteration sync (see bench.py)
     wall = (time.perf_counter() - t0) / n_iter
 
     print(

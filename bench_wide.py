@@ -42,6 +42,7 @@ f = s2(state, lq); jax.block_until_ready(f)
 t0 = time.perf_counter()
 for _ in range(3):
     state, lq = s1(temps, n_elem); f = s2(state, lq)
-jax.block_until_ready(f)
+    jax.block_until_ready(f)  # per-iteration sync: end-only blocking can
+    # return before queued axon executions finish (see bench.py)
 wall = (time.perf_counter() - t0) / 3
 print(f"full-visible: {len(lam)} lambda x 56 depth, {plan.line_data.n_lines} lines, wall {wall:.2f}s, tiers {hist}")
