@@ -1,0 +1,127 @@
+"""Command-line synthesis: ``python -m stardis_tpu``.
+
+The reference is Python-API-only (its setup.cfg console_script is template
+boilerplate, reference setup.cfg:19-21); this CLI is an extension for
+production use — one-shot synthesis from a config file without writing a
+driver script:
+
+    python -m stardis_tpu config.yml --lambda 6540:6590:0.01 \
+        --output spectrum.h5 --ascii spectrum.txt
+
+``--lambda`` takes ``start:stop:step`` in Angstrom (stop exclusive, like
+the reference's benchmark grids).  ``--output`` writes the full
+STARDISOutput via util.hdf.output_to_hdf; ``--ascii`` writes a two-column
+(wavelength [AA], F_lambda [erg/s/cm^2/AA]) text table.  ``--set`` applies
+dotted-key config overrides (the add_config_dict surface, reference
+io/base.py:53-65), e.g. ``--set opacity.line.disable=true``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_lambda(spec: str):
+    try:
+        start, stop, step = (float(tok) for tok in spec.split(":"))
+    except ValueError:
+        raise SystemExit(
+            f"--lambda expects start:stop:step in Angstrom, got {spec!r}"
+        )
+    if not (stop > start and step > 0):
+        raise SystemExit(
+            f"--lambda needs stop > start and step > 0, got {spec!r}"
+        )
+    return np.arange(start, stop, step)
+
+
+def _parse_override(item: str):
+    if "=" not in item:
+        raise SystemExit(f"--set expects dotted.key=value, got {item!r}")
+    key, _, raw = item.partition("=")
+    try:
+        value = json.loads(raw)  # numbers / true / false / null / quoted
+    except json.JSONDecodeError:
+        value = raw  # bare string
+    return key, value
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="python -m stardis_tpu",
+        description="LTE stellar spectral synthesis (TPU-native)",
+    )
+    parser.add_argument("config", help="YAML config file")
+    parser.add_argument(
+        "--lambda", dest="lambda_spec", required=True, metavar="A:B:STEP",
+        help="wavelength grid start:stop:step in Angstrom (stop exclusive)",
+    )
+    parser.add_argument(
+        "--output", metavar="FILE.h5",
+        help="write the full output (nus/lambdas/spectra) as HDF5",
+    )
+    parser.add_argument(
+        "--ascii", metavar="FILE.txt",
+        help="write a two-column (lambda [AA], F_lambda) text table",
+    )
+    parser.add_argument(
+        "--set", dest="overrides", action="append", default=[],
+        metavar="KEY=VALUE",
+        help="dotted-key config override (repeatable), e.g. "
+        "--set opacity.line.disable=true",
+    )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (skip any accelerator)",
+    )
+    args = parser.parse_args(argv)
+
+    lambdas_aa = _parse_lambda(args.lambda_spec)
+    overrides = dict(_parse_override(item) for item in args.overrides)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from stardis_tpu import run_stardis
+    from stardis_tpu import units as u
+
+    t0 = time.perf_counter()
+    sim = run_stardis(
+        args.config,
+        u.Quantity(lambdas_aa, u.AA),
+        add_config_dict=overrides or None,
+    )
+    wall = time.perf_counter() - t0
+
+    f_lam = np.asarray(sim.spectrum_lambda)
+    lam = np.asarray(sim.lambdas)
+    print(
+        f"synthesized {len(lam)} points in {wall:.2f}s "
+        f"({lambdas_aa[0]:.2f}-{lambdas_aa[-1]:.2f} AA); "
+        f"F_lambda range [{f_lam.min():.4e}, {f_lam.max():.4e}] "
+        "erg/s/cm^2/AA"
+    )
+    if args.output:
+        from stardis_tpu.util.hdf import output_to_hdf
+
+        output_to_hdf(sim, args.output)
+        print(f"wrote {args.output}")
+    if args.ascii:
+        np.savetxt(
+            args.ascii,
+            np.column_stack([lam, f_lam]),
+            header="wavelength_AA  F_lambda_erg_s_cm2_AA",
+        )
+        print(f"wrote {args.ascii}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
