@@ -74,6 +74,39 @@ def _as_pair_tiers(window_spec, n_depth):
     return tiers, n_depth, 1
 
 
+def _halo_sels(centers, w, ndev, per_shard, full):
+    """Per-shard pair selection (the CLAUDE.md-pinned overlap invariant):
+    keep a pair on shard ``s`` iff its touched pixel span
+    ``[center - w//2, center + (w - w//2))`` — the kernel's full window —
+    overlaps the shard's pixel range, with a +-1 pixel safety margin.
+    Grid-covering tiers (w >= full) select every pair on every shard."""
+    if w >= full:
+        return [np.ones(len(centers), bool)] * ndev
+    lo = centers - w // 2 - 1
+    hi = centers + (w - w // 2) + 1
+    return [
+        (hi > s * per_shard) & (lo < (s + 1) * per_shard)
+        for s in range(ndev)
+    ]
+
+
+def _stack_padded(li_s, bi_s, ndev):
+    """Pad per-shard pair lists to the max count over shards (live=False
+    tail, 8-aligned) and stack to [ndev, P] so shard_map can hand each
+    shard its own slice while every shard runs one program."""
+    pmax = max(len(x) for x in li_s)
+    pmax = max(8, -(-pmax // 8) * 8)
+    li_a = np.zeros((ndev, pmax), np.int64)
+    bi_a = np.zeros((ndev, pmax), np.int64)
+    lv_a = np.zeros((ndev, pmax), bool)
+    for s in range(ndev):
+        k = len(li_s[s])
+        li_a[s, :k] = li_s[s]
+        bi_a[s, :k] = bi_s[s]
+        lv_a[s, :k] = True
+    return li_a, bi_a, lv_a
+
+
 def bucket_pairs_per_shard(window_spec, centers_global, n_depth,
                            n_nu_global, ndev, per_shard):
     """Host-side shard-aware line bucketing (SURVEY.md §7.3).
@@ -103,27 +136,10 @@ def bucket_pairs_per_shard(window_spec, centers_global, n_depth,
         bi = np.asarray(bi, dtype=np.int64)
         if len(li) == 0:
             continue
-        if w >= full:
-            # grid-covering tier: every shard needs every pair
-            sels = [np.ones(len(li), bool)] * ndev
-        else:
-            c = centers_global[li]
-            lo = c - w // 2 - 1
-            hi = c + (w - w // 2) + 1
-            sels = [
-                (hi > s * per_shard) & (lo < (s + 1) * per_shard)
-                for s in range(ndev)
-            ]
-        pmax = max(int(sel.sum()) for sel in sels)
-        pmax = max(8, -(-pmax // 8) * 8)
-        li_a = np.zeros((ndev, pmax), np.int64)
-        bi_a = np.zeros((ndev, pmax), np.int64)
-        lv_a = np.zeros((ndev, pmax), bool)
-        for s, sel in enumerate(sels):
-            k = int(sel.sum())
-            li_a[s, :k] = li[sel]
-            bi_a[s, :k] = bi[sel]
-            lv_a[s, :k] = True
+        sels = _halo_sels(centers_global[li], w, ndev, per_shard, full)
+        li_a, bi_a, lv_a = _stack_padded(
+            [li[sel] for sel in sels], [bi[sel] for sel in sels], ndev
+        )
         out.append((li_a, bi_a, lv_a, int(w)))
     return out, blk, n_blocks
 
@@ -171,29 +187,27 @@ def bucket_pair_programs_per_shard(
         bi = np.asarray(bi, dtype=np.int64)
         if len(li) == 0:
             continue
-        if w >= full:
-            # grid-covering tier: every shard needs every pair
-            sels = [np.ones(len(li), bool)] * ndev
-        else:
-            c = centers_global[li]
-            lo = c - w // 2 - 1
-            hi = c + (w - w // 2) + 1
-            sels = [
-                (hi > s * per_shard) & (lo < (s + 1) * per_shard)
-                for s in range(ndev)
+        sels = _halo_sels(centers_global[li], w, ndev, per_shard, full)
+
+        def _per_shard_lists(sel_list, _li=li, _bi=bi):
+            li_s = [_li[sel] for sel in sel_list]
+            bi_s = [_bi[sel] for sel in sel_list]
+            cen_s = [
+                centers_global[_li[sel]] - s * per_shard
+                for s, sel in enumerate(sel_list)
             ]
-        li_s = [li[sel] for sel in sels]
-        bi_s = [bi[sel] for sel in sels]
-        cen_s = [
-            centers_global[li[sel]] - s * per_shard
-            for s, sel in enumerate(sels)
-        ]
+            return li_s, bi_s, cen_s
+
+        li_s, bi_s, cen_s = _per_shard_lists(sels)
         if all(len(x) == 0 for x in li_s):
             continue
 
-        def _panel_prog(panel0, phi, mask, _w=w):
+        def _panel_prog(panel0, phi, mask, lists=None, _w=w):
+            p_li, p_bi, p_cen = lists if lists is not None else (
+                li_s, bi_s, cen_s
+            )
             li_a, bi_a, lv_a, off_a, c_sz, panel = panel_schedule(
-                cen_s, li_s, bi_s, per_shard, panel0, chunk,
+                p_cen, p_li, p_bi, per_shard, panel0, chunk,
                 memory_budget_bytes, blk, itemsize,
             )
             arrays.append((li_a, bi_a, lv_a, off_a))
@@ -204,25 +218,26 @@ def bucket_pair_programs_per_shard(
                 }
             )
 
-        def _stacked():
-            pmax = max(len(x) for x in li_s)
-            pmax = max(8, -(-pmax // 8) * 8)
-            li_a = np.zeros((ndev, pmax), np.int64)
-            bi_a = np.zeros((ndev, pmax), np.int64)
-            lv_a = np.zeros((ndev, pmax), bool)
-            for s in range(ndev):
-                k = len(li_s[s])
-                li_a[s, :k] = li_s[s]
-                bi_a[s, :k] = bi_s[s]
-                lv_a[s, :k] = True
-            return li_a, bi_a, lv_a
+        def _core_lists(_li=li, _ch=core_half):
+            # the core pass only touches |pixel - center| < core_half, so
+            # bucket it by the CORE span, not the tier window: a pair whose
+            # +-core_half core lies wholly on other shards contributes
+            # exact zeros here (the mask re-applies the span in-kernel) —
+            # without this, grid-covering split-dense tiers ran the
+            # full-Voigt core pass on every shard (~ndev x redundant work)
+            return _per_shard_lists(
+                _halo_sels(
+                    centers_global[_li], 2 * _ch, ndev, per_shard, full
+                )
+            )
 
         if core_half and use_panelized(w, per_shard):
             if 4 * core_half <= w:
                 # split tier: full-Voigt cores + region-I far wings,
                 # both panelized (mirrors accumulate_line_opacity_blocked)
                 _panel_prog(
-                    split_panel(core_half), "voigt", ("core", core_half)
+                    split_panel(core_half), "voigt", ("core", core_half),
+                    lists=_core_lists(),
                 )
                 _panel_prog(
                     int(np.ceil((w // 2) / 128.0) * 128),
@@ -237,8 +252,9 @@ def bucket_pair_programs_per_shard(
         elif is_dense_tier(w, per_shard):
             if split_enabled(core_half, centers_global, per_shard):
                 # split dense: region-I wings at every local pixel
-                # (one-hot routed) + panelized full-Voigt cores
-                li_a, bi_a, lv_a = _stacked()
+                # (one-hot routed) + panelized full-Voigt cores bucketed
+                # by the core span
+                li_a, bi_a, lv_a = _stack_padded(li_s, bi_s, ndev)
                 arrays.append((li_a, bi_a, lv_a, None))
                 metas.append(
                     {
@@ -247,14 +263,15 @@ def bucket_pair_programs_per_shard(
                     }
                 )
                 _panel_prog(
-                    split_panel(core_half), "voigt", ("core", core_half)
+                    split_panel(core_half), "voigt", ("core", core_half),
+                    lists=_core_lists(),
                 )
             else:
-                li_a, bi_a, lv_a = _stacked()
+                li_a, bi_a, lv_a = _stack_padded(li_s, bi_s, ndev)
                 arrays.append((li_a, bi_a, lv_a, None))
                 metas.append({"kind": "dense", "window": int(w)})
         else:
-            li_a, bi_a, lv_a = _stacked()
+            li_a, bi_a, lv_a = _stack_padded(li_s, bi_s, ndev)
             arrays.append((li_a, bi_a, lv_a, None))
             metas.append({"kind": "scatter", "window": int(w)})
     return arrays, metas, blk, n_blocks

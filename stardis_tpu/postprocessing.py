@@ -103,16 +103,22 @@ def rotation_kernel_jax(vel_pix, v_rot_kms, half_width_pix: int,
     |v| >= v_rot, so extra support adds exact zeros and normalization
     removes the rest.  The sqrt at the profile's zero crossing is guarded
     so gradients w.r.t. v_rot stay finite.
+
+    |v sin i| is clamped below at 1e-5 km/s (the host function's identity
+    threshold): as v_rot -> 0 the clamped kernel collapses to an exact
+    delta, so the v_rot = 0 limit returns the flux unchanged (instead of
+    0/0 NaNs) with zero gradient — the physical v_rot^2 scaling.
     """
     import jax.numpy as jnp
 
+    v_rot_safe = jnp.maximum(jnp.abs(v_rot_kms), 1e-5)
     i = jnp.arange(-half_width_pix, half_width_pix + 1, dtype=dtype)
     v = i * vel_pix
-    profile = 1.0 - (v / v_rot_kms) ** 2
+    profile = 1.0 - (v / v_rot_safe) ** 2
     pos = profile > 0.0
     sqrt_prof = jnp.where(pos, jnp.sqrt(jnp.where(pos, profile, 1.0)), 0.0)
     profile = jnp.where(pos, profile, 0.0)
-    v_rot_by_c = jnp.abs(v_rot_kms) / C_KMS
+    v_rot_by_c = v_rot_safe / C_KMS
     kern = (
         2.0 * (1.0 - limb_darkening) * sqrt_prof
         + 0.5 * jnp.pi * limb_darkening * profile
@@ -139,7 +145,7 @@ def rotation_broadening_jax(vel_pix, flux, v_rot_kms, limb_darkening=0.6,
     import jax.numpy as jnp
 
     if half_width_pix is None:
-        half_width_pix = int(round(float(v_rot_kms) / float(vel_pix)))
+        half_width_pix = int(round(abs(float(v_rot_kms)) / abs(float(vel_pix))))
     flux = jnp.asarray(flux)
     kern = rotation_kernel_jax(
         vel_pix, v_rot_kms, half_width_pix, limb_darkening, dtype=flux.dtype
@@ -150,11 +156,15 @@ def rotation_broadening_jax(vel_pix, flux, v_rot_kms, limb_darkening=0.6,
 def gaussian_kernel_jax(sigma_pix, radius_pix: int, dtype=None):
     """Normalized Gaussian kernel on a static support (differentiable in
     sigma).  Matches scipy.ndimage.gaussian_filter1d's kernel for
-    radius_pix = int(4*sigma + 0.5) (its truncate=4 default)."""
+    radius_pix = int(4*sigma + 0.5) (its truncate=4 default).
+
+    |sigma| is clamped below at 1e-6 px so the sigma = 0 limit is an exact
+    delta kernel (flux unchanged) instead of 0/0 NaNs."""
     import jax.numpy as jnp
 
+    sigma_safe = jnp.maximum(jnp.abs(sigma_pix), 1e-6)
     x = jnp.arange(-radius_pix, radius_pix + 1, dtype=dtype)
-    phi = jnp.exp(-0.5 * (x / sigma_pix) ** 2)
+    phi = jnp.exp(-0.5 * (x / sigma_safe) ** 2)
     return phi / jnp.sum(phi)
 
 
@@ -165,7 +175,7 @@ def instrumental_broadening_jax(flux, sigma_pix, radius_pix: int | None = None):
     import jax.numpy as jnp
 
     if radius_pix is None:
-        radius_pix = int(4.0 * float(sigma_pix) + 0.5)
+        radius_pix = int(4.0 * abs(float(sigma_pix)) + 0.5)
     flux = jnp.asarray(flux)
     kern = gaussian_kernel_jax(sigma_pix, radius_pix, dtype=flux.dtype)
     return _reflect_convolve_jax(flux, kern, radius_pix)

@@ -215,3 +215,90 @@ def test_instrumental_jax_gradient():
     eps = 1e-4
     fd = (loss(2.5 + eps) - loss(2.5 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+
+def test_rotation_jax_zero_and_negative_v_rot():
+    """v sin i = 0 must return the flux unchanged (the host function's
+    |v_rot| < 1e-5 identity branch), not NaN, with a finite (zero)
+    gradient; a negative v sin i behaves as |v sin i| instead of raising
+    from a negative pad width."""
+    import jax.numpy as jnp
+    from stardis_tpu.postprocessing import rotation_broadening_jax
+
+    lam, flux = _delta_spectrum()
+    flux = jnp.asarray(flux)
+    vel_pix = 4.566
+
+    # concrete zero, default (zero-width) support
+    out0 = np.asarray(rotation_broadening_jax(vel_pix, flux, 0.0))
+    np.testing.assert_allclose(out0, np.asarray(flux), rtol=1e-12)
+    # traced-style call: zero v_rot on a wide static support
+    out0w = np.asarray(
+        rotation_broadening_jax(vel_pix, flux, 0.0, half_width_pix=12)
+    )
+    np.testing.assert_allclose(out0w, np.asarray(flux), rtol=1e-12)
+
+    def loss(v):
+        model = rotation_broadening_jax(vel_pix, flux, v, half_width_pix=12)
+        return jnp.sum(model**2)
+
+    g0 = jax.grad(loss)(0.0)
+    assert np.isfinite(float(g0)) and float(g0) == 0.0
+
+    # negative v sin i == positive |v sin i| (Gray profile is even in v_rot)
+    pos = np.asarray(rotation_broadening_jax(vel_pix, flux, 23.0))
+    neg = np.asarray(rotation_broadening_jax(vel_pix, flux, -23.0))
+    np.testing.assert_allclose(neg, pos, rtol=1e-12)
+
+
+def test_instrumental_jax_zero_sigma():
+    import jax.numpy as jnp
+    from stardis_tpu.postprocessing import instrumental_broadening_jax
+
+    lam, flux = _delta_spectrum()
+    flux = jnp.asarray(flux)
+    out0 = np.asarray(instrumental_broadening_jax(flux, 0.0))
+    np.testing.assert_allclose(out0, np.asarray(flux), rtol=1e-12)
+    out0w = np.asarray(instrumental_broadening_jax(flux, 0.0, radius_pix=9))
+    np.testing.assert_allclose(out0w, np.asarray(flux), rtol=1e-12)
+
+    g0 = jax.grad(
+        lambda s: jnp.sum(
+            instrumental_broadening_jax(flux, s, radius_pix=9) ** 2
+        )
+    )(0.0)
+    assert np.isfinite(float(g0))
+
+    neg = np.asarray(instrumental_broadening_jax(flux, -2.5, radius_pix=24))
+    pos = np.asarray(instrumental_broadening_jax(flux, 2.5, radius_pix=24))
+    np.testing.assert_allclose(neg, pos, rtol=1e-12)
+
+
+def test_postprocessing_f32_consistency():
+    """CLAUDE.md float32 discipline: the device post-processing kernels are
+    consistent between f32 (TPU default) and f64.  The kernel normalization
+    divides by v_rot/c ~ 1e-4 — small but well inside f32 range."""
+    import jax.numpy as jnp
+    from stardis_tpu.postprocessing import (
+        instrumental_broadening_jax,
+        rotation_broadening_jax,
+    )
+
+    lam, flux64 = _delta_spectrum()
+    flux64 = jnp.asarray(flux64, dtype=jnp.float64)
+    flux32 = flux64.astype(jnp.float32)
+    vel_pix = 4.566
+
+    r64 = np.asarray(
+        rotation_broadening_jax(vel_pix, flux64, 23.0, half_width_pix=12)
+    )
+    r32 = np.asarray(
+        rotation_broadening_jax(vel_pix, flux32, 23.0, half_width_pix=12)
+    )
+    scale = np.max(np.abs(r64))
+    np.testing.assert_allclose(r32 / scale, r64 / scale, atol=2e-6)
+
+    i64 = np.asarray(instrumental_broadening_jax(flux64, 2.5, radius_pix=24))
+    i32 = np.asarray(instrumental_broadening_jax(flux32, 2.5, radius_pix=24))
+    scale = np.max(np.abs(i64))
+    np.testing.assert_allclose(i32 / scale, i64 / scale, atol=2e-6)

@@ -201,3 +201,36 @@ def test_bucketed_eval_budget_scales(solar_plan):
     # every shard must carry less than half the unsharded budget (the
     # round-2 failure mode put the FULL budget on every shard)
     assert max(st["per_shard_evals"]) < 0.5 * st["unsharded_evals"], st
+
+
+def test_split_dense_core_bucketed_by_core_span():
+    """The split-dense core pass must be bucketed by the +-core_half core
+    span, not by the (grid-covering) tier window: only the center shard
+    plus at most one boundary neighbour carries each pair's full-Voigt
+    core work.  Before this rule, every shard ran the core pass for every
+    pair of a grid-covering tier (~ndev x redundant work)."""
+    from stardis_tpu.opacities.line_kernel import BlockedTiers
+    from stardis_tpu.parallel.sharding import bucket_pair_programs_per_shard
+
+    ndev, per_shard = 8, 1024
+    n_nu = ndev * per_shard
+    rng = np.random.default_rng(0)
+    n_pairs = 500
+    li = np.arange(n_pairs, dtype=np.int64)
+    bi = np.zeros(n_pairs, np.int64)
+    centers = rng.integers(0, n_nu, size=n_pairs)
+    full = int(np.ceil(2 * n_nu / 128.0) * 128)
+    spec = BlockedTiers(
+        tiers=[(li, bi, full)], block=8, n_blocks=1, core_half=40
+    )
+    arrays, metas, blk, n_blocks = bucket_pair_programs_per_shard(
+        spec, centers, 8, n_nu, ndev, per_shard
+    )
+    kinds = [m["kind"] for m in metas]
+    assert kinds == ["dense", "panel"], metas
+    # wings (region-I, dense): grid-covering, every shard needs every pair
+    assert int(arrays[0][2].sum()) == ndev * n_pairs
+    # cores: a +-40 px span overlaps at most 2 shards, so total live core
+    # schedule entries are bounded by pairs + boundary halo, never ndev x
+    core_live = int(arrays[1][2].sum())
+    assert n_pairs <= core_live <= 2 * n_pairs, core_live
