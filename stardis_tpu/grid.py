@@ -1,0 +1,256 @@
+"""Spectral-library grid scans with checkpoint/resume.
+
+The reference is a single-shot, minutes-scale code: it has no mid-run
+persistence at all (SURVEY.md §5 — checkpoint/resume "none"; persistence
+is `to_hdf` of finished outputs, reference util/regression_data.py:136-160).
+A TPU production deployment synthesizes spectral LIBRARIES — grids of
+thousands of atmospheres over (Teff, log g, [Fe/H], ...) — where losing
+hours of completed work to a preemption is not acceptable.
+
+``synthesize_grid`` partitions the model list into fixed-size chunks,
+runs each chunk through ``parallel.batch.run_batch`` (one template plan,
+so the compiled-stage cache makes every chunk after the first
+compile-free), and checkpoints each completed chunk ATOMICALLY
+(write to a temp file in the same directory, then ``os.replace``) as
+``chunk_XXXXX.npz`` under ``out_dir`` next to a ``manifest.json`` that
+pins the grid's identity (frequency grid, model count, chunking, labels).
+A re-run over the same ``out_dir``:
+
+* verifies the manifest matches the requested grid (a different grid in
+  the same directory is an error, not a silent mix);
+* skips chunks whose files exist and load cleanly (a chunk truncated by
+  a kill cannot exist — the rename is atomic — but unreadable files are
+  recomputed, not trusted);
+* computes only the missing chunks.
+
+So a scan killed at chunk k resumes at chunk k, bit-identically to an
+uninterrupted run (chunking fixes the batch contents, and each batch is
+an independent computation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+from stardis_tpu.parallel.batch import collect_batch_inputs, make_batch, run_batch
+
+_MANIFEST = "manifest.json"
+
+
+def _chunk_name(i: int) -> str:
+    return f"chunk_{i:05d}.npz"
+
+
+def _grid_identity(tracing_nus_hz, n_models, batch_size, labels, store_depths):
+    """Fingerprint of everything that defines chunk contents/shapes."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(np.ascontiguousarray(np.asarray(tracing_nus_hz, np.float64)).tobytes())
+    h.update(str((int(n_models), int(batch_size), bool(store_depths))).encode())
+    if labels is not None:
+        h.update(json.dumps(labels, sort_keys=True, default=float).encode())
+    return h.hexdigest()
+
+
+def _atomic_savez(path: Path, **arrays):
+    fd, tmp = tempfile.mkstemp(
+        prefix=path.name + ".", suffix=".tmp", dir=str(path.parent)
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _chunk_ok(path: Path, idx_expected) -> bool:
+    """A checkpoint counts only if it loads cleanly and covers the right
+    model indices — anything else is recomputed, not trusted."""
+    if not path.exists():
+        return False
+    try:
+        with np.load(path) as z:
+            return bool(np.array_equal(z["idx"], idx_expected)) and (
+                "spectrum" in z.files
+            )
+    except Exception:
+        return False
+
+
+def synthesize_grid(
+    config,
+    atom_data,
+    stellar_models,
+    tracing_nus_hz,
+    out_dir,
+    batch_size: int | None = None,
+    mesh=None,
+    dtype=np.float64,
+    labels: list | None = None,
+    store_depths: bool = False,
+    max_chunks: int | None = None,
+    resume: bool = True,
+):
+    """Synthesize a grid of atmospheres with per-chunk checkpointing.
+
+    Parameters
+    ----------
+    config, atom_data : parsed STARDIS config + atom data (shared by every
+        grid member — one compiled program serves the whole scan).
+    stellar_models : list of StellarModel (equal depth counts/geometry).
+    tracing_nus_hz : [N] frequency grid (Hz, descending).
+    out_dir : checkpoint directory; created if missing.  Completed chunks
+        are ``chunk_XXXXX.npz`` files with ``idx`` (model indices) and
+        ``spectrum`` ([b, N] emergent F_nu, or [b, D, N] with
+        ``store_depths``).
+    batch_size : models per chunk (static compile shape).  Defaults to the
+        mesh's batch-axis size, else ``min(8, len(models))``.  The last
+        chunk is padded by repeating its final model (padding is sliced
+        off before saving), so every chunk runs the SAME compiled program.
+    mesh : optional jax mesh with a 'batch' axis (optionally x 'nu') —
+        passed through to run_batch; batch_size must then be a multiple of
+        the batch-axis size.
+    labels : optional JSON-serializable per-model labels (e.g. Teff/logg
+        dicts), pinned into the manifest and returned by load_grid.
+    max_chunks : stop after this many newly computed chunks (for tests /
+        time-budgeted scans); the scan stays resumable.
+    resume : reuse existing valid chunk files (default).  ``False``
+        recomputes everything (existing files are overwritten).
+
+    Returns
+    -------
+    dict with ``completed`` / ``total`` chunk counts, ``out_dir``, and
+    ``done`` (True when every chunk file exists).
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_models = len(stellar_models)
+    if n_models == 0:
+        raise ValueError("empty model list")
+    if labels is not None and len(labels) != n_models:
+        raise ValueError("labels must match stellar_models")
+    if batch_size is None:
+        if mesh is not None and "batch" in mesh.axis_names:
+            batch_size = int(mesh.shape["batch"])
+        else:
+            batch_size = min(8, n_models)
+    if mesh is not None and "batch" in mesh.axis_names and (
+        batch_size % int(mesh.shape["batch"])
+    ):
+        raise ValueError(
+            f"batch_size {batch_size} must be a multiple of the mesh "
+            f"batch axis ({int(mesh.shape['batch'])})"
+        )
+
+    nus = np.asarray(tracing_nus_hz, dtype=np.float64)
+    n_chunks = -(-n_models // batch_size)
+    identity = _grid_identity(nus, n_models, batch_size, labels, store_depths)
+
+    manifest_path = out_dir / _MANIFEST
+    manifest = {
+        "identity": identity,
+        "n_models": n_models,
+        "batch_size": batch_size,
+        "n_chunks": n_chunks,
+        "n_nu": int(len(nus)),
+        "store_depths": store_depths,
+        "labels": labels,
+    }
+    if manifest_path.exists():
+        existing = json.loads(manifest_path.read_text())
+        if existing.get("identity") != identity:
+            raise ValueError(
+                f"{out_dir} holds checkpoints for a DIFFERENT grid "
+                "(frequency grid / model count / chunking / labels "
+                "mismatch); use a fresh out_dir or delete the old scan"
+            )
+    else:
+        tmp = manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1, default=float))
+        os.replace(tmp, manifest_path)
+    # the frequency grid itself, once (needed to interpret the spectra)
+    nus_path = out_dir / "tracing_nus.npz"
+    if not nus_path.exists():
+        _atomic_savez(nus_path, tracing_nus=nus)
+
+    plan = None
+    computed = 0
+    skipped = 0
+    for ci in range(n_chunks):
+        lo = ci * batch_size
+        hi = min(lo + batch_size, n_models)
+        idx = np.arange(lo, hi)
+        path = out_dir / _chunk_name(ci)
+        if resume and _chunk_ok(path, idx):
+            skipped += 1
+            continue
+        if max_chunks is not None and computed >= max_chunks:
+            break
+        members = list(stellar_models[lo:hi])
+        pad = batch_size - len(members)
+        if pad:
+            members = members + [members[-1]] * pad
+        if plan is None:
+            plan, batch = make_batch(config, atom_data, members, nus,
+                                     dtype=dtype)
+        else:
+            batch = collect_batch_inputs(config, members, plan, dtype=dtype)
+        f_nu = np.asarray(run_batch(plan, batch, mesh=mesh))  # [b, D, N]
+        f_nu = f_nu[: len(idx)]
+        spectrum = f_nu if store_depths else f_nu[:, -1, :]
+        _atomic_savez(path, idx=idx, spectrum=spectrum)
+        computed += 1
+
+    done = all(
+        _chunk_ok(out_dir / _chunk_name(ci),
+                  np.arange(ci * batch_size, min((ci + 1) * batch_size,
+                                                 n_models)))
+        for ci in range(n_chunks)
+    )
+    return {
+        "out_dir": str(out_dir),
+        "total": n_chunks,
+        "computed": computed,
+        "skipped": skipped,
+        "done": done,
+    }
+
+
+def load_grid(out_dir):
+    """Assemble a completed (or partial) grid scan.
+
+    Returns (spectra, tracing_nus, labels): spectra is [M, N] emergent
+    F_nu (or [M, D, N] for store_depths scans) with NaN rows for chunks
+    not yet computed; labels is the manifest's per-model list (or None).
+    """
+    out_dir = Path(out_dir)
+    manifest = json.loads((out_dir / _MANIFEST).read_text())
+    with np.load(out_dir / "tracing_nus.npz") as z:
+        nus = z["tracing_nus"]
+    n_models = manifest["n_models"]
+    spectra = None
+    for ci in range(manifest["n_chunks"]):
+        path = out_dir / _chunk_name(ci)
+        if not path.exists():
+            continue
+        try:
+            with np.load(path) as z:
+                idx, spec = z["idx"], z["spectrum"]
+        except Exception:
+            continue
+        if spectra is None:
+            spectra = np.full((n_models,) + spec.shape[1:], np.nan,
+                              dtype=spec.dtype)
+        spectra[idx] = spec
+    if spectra is None:
+        spectra = np.full((n_models, manifest["n_nu"]), np.nan)
+    return spectra, nus, manifest.get("labels")
