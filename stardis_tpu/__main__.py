@@ -14,6 +14,14 @@ STARDISOutput via util.hdf.output_to_hdf; ``--ascii`` writes a two-column
 (wavelength [AA], F_lambda [erg/s/cm^2/AA]) text table.  ``--set`` applies
 dotted-key config overrides (the add_config_dict surface, reference
 io/base.py:53-65), e.g. ``--set opacity.line.disable=true``.
+
+Library scans: ``--grid`` takes a directory (or glob) of model files of
+the config's ``input_model.type`` and synthesizes all of them with
+per-chunk checkpointing into ``--scan-out`` (stardis_tpu.grid) — a killed
+scan re-run resumes where it stopped:
+
+    python -m stardis_tpu config.yml --lambda 4000:7000:0.02 \
+        --grid 'models/*.mod' --scan-out scan_dir --batch-size 8
 """
 
 from __future__ import annotations
@@ -79,6 +87,21 @@ def main(argv=None):
         "--cpu", action="store_true",
         help="force the CPU backend (skip any accelerator)",
     )
+    parser.add_argument(
+        "--grid", metavar="DIR_OR_GLOB",
+        help="synthesize a GRID of model files (directory or glob of the "
+        "config's input_model.type) with checkpoint/resume; needs "
+        "--scan-out",
+    )
+    parser.add_argument(
+        "--scan-out", metavar="DIR",
+        help="checkpoint directory for --grid (chunk_XXXXX.npz + manifest)",
+    )
+    parser.add_argument(
+        "--batch-size", type=int, default=None,
+        help="models per compiled chunk for --grid (default: min(8, "
+        "number of models))",
+    )
     args = parser.parse_args(argv)
 
     lambdas_aa = _parse_lambda(args.lambda_spec)
@@ -88,9 +111,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # CPU can afford f64, and the host plan defaults to it — without
+        # x64 every device transfer warns and truncates to f32
+        jax.config.update("jax_enable_x64", True)
 
     from stardis_tpu import run_stardis
     from stardis_tpu import units as u
+
+    if args.grid:
+        return _run_grid(args, lambdas_aa, overrides)
 
     t0 = time.perf_counter()
     sim = run_stardis(
@@ -120,6 +149,49 @@ def main(argv=None):
             header="wavelength_AA  F_lambda_erg_s_cm2_AA",
         )
         print(f"wrote {args.ascii}")
+    return 0
+
+
+def _run_grid(args, lambdas_aa, overrides):
+    """--grid: checkpointed library scan over many model files."""
+    import glob as _glob
+    from pathlib import Path
+
+    if not args.scan_out:
+        raise SystemExit("--grid needs --scan-out DIR for the checkpoints")
+    root = Path(args.grid)
+    if root.is_dir():
+        files = sorted(p for p in root.iterdir() if p.is_file())
+    else:
+        files = sorted(Path(p) for p in _glob.glob(args.grid))
+    if not files:
+        raise SystemExit(f"--grid matched no model files: {args.grid!r}")
+
+    from stardis_tpu import parse_config_to_model
+    from stardis_tpu import units as u
+    from stardis_tpu.base import read_stellar_model
+    from stardis_tpu.grid import synthesize_grid
+
+    config, adata, _model0 = parse_config_to_model(
+        args.config, overrides or None
+    )
+    models = [read_stellar_model(config, adata, f) for f in files]
+    nus = np.asarray(
+        u.Quantity(lambdas_aa, u.AA).to(u.Hz, u.spectral())
+    )
+    t0 = time.perf_counter()
+    res = synthesize_grid(
+        config, adata, models, nus, args.scan_out,
+        batch_size=args.batch_size,
+        labels=[{"fname": str(f)} for f in files],
+    )
+    wall = time.perf_counter() - t0
+    state = "complete" if res["done"] else "PARTIAL (re-run to resume)"
+    print(
+        f"grid scan {state}: {len(files)} models x {len(lambdas_aa)} "
+        f"points, {res['computed']} chunk(s) computed "
+        f"(+{res['skipped']} resumed) in {wall:.2f}s -> {res['out_dir']}"
+    )
     return 0
 
 

@@ -65,15 +65,16 @@ def _load_atom_data(spec: str) -> AtomData:
     return AtomData.from_hdf(spec)
 
 
-def parse_config_to_model(config_fname, add_config_dict=None):
-    """Config + atom data + stellar model (reference io/base.py:20-132)."""
-    config = load_config(config_fname, add_config_dict)
-    adata = _load_atom_data(config.atom_data)
-
-    logger.info("Reading model")
+def read_stellar_model(config, adata, fname=None):
+    """One stellar model by the config's ``input_model`` rules (reader
+    dispatch, composition source, microturbulence toggle, nuclide
+    rescaling — reference io/base.py:71-100, 119-130).  ``fname``
+    overrides the config's model path so grid scans can read many model
+    files under one config."""
     im = config.input_model
+    path = Path(fname) if fname is not None else Path(im.fname)
     if im.type == "marcs":
-        raw = read_marcs_model(Path(im.fname), gzipped=im.gzipped)
+        raw = read_marcs_model(path, gzipped=im.gzipped)
         stellar_model = raw.to_stellar_model(
             adata,
             final_atomic_number=int(im.final_atomic_number),
@@ -84,7 +85,7 @@ def parse_config_to_model(config_fname, add_config_dict=None):
         if config.opacity.line.disable_microturbulence:
             stellar_model.microturbulence = stellar_model.microturbulence * 0.0
     elif im.type == "mesa":
-        raw = read_mesa_model(Path(im.fname))
+        raw = read_mesa_model(path)
         if im.truncate_to_shell != -99:
             if im.truncate_to_shell < 0:
                 raise ValueError(
@@ -97,6 +98,28 @@ def parse_config_to_model(config_fname, add_config_dict=None):
         )
     else:
         raise ValueError("Model type must be 'marcs' or 'mesa'")
+
+    rescale = im.nuclide_rescaling_dict
+    rescale = rescale.to_dict() if hasattr(rescale, "to_dict") else dict(rescale)
+    if rescale:
+        stellar_model.composition.nuclide_mass_fraction = (
+            rescale_nuclide_mass_fractions(
+                stellar_model.composition.nuclide_mass_fraction,
+                list(rescale.keys()),
+                list(rescale.values()),
+            )
+        )
+    return stellar_model
+
+
+def parse_config_to_model(config_fname, add_config_dict=None):
+    """Config + atom data + stellar model (reference io/base.py:20-132)."""
+    config = load_config(config_fname, add_config_dict)
+    adata = _load_atom_data(config.atom_data)
+
+    logger.info("Reading model")
+    im = config.input_model
+    stellar_model = read_stellar_model(config, adata)
 
     vald_cfg = config.opacity.line.vald_linelist
     if getattr(vald_cfg, "fname", None):
@@ -119,17 +142,6 @@ def parse_config_to_model(config_fname, add_config_dict=None):
             + 1,
         )
     )
-
-    rescale = im.nuclide_rescaling_dict
-    rescale = rescale.to_dict() if hasattr(rescale, "to_dict") else dict(rescale)
-    if rescale:
-        stellar_model.composition.nuclide_mass_fraction = (
-            rescale_nuclide_mass_fractions(
-                stellar_model.composition.nuclide_mass_fraction,
-                list(rescale.keys()),
-                list(rescale.values()),
-            )
-        )
 
     return config, adata, stellar_model
 

@@ -95,3 +95,57 @@ def test_cli_bad_lambda_spec(config_path):
         cli_main([config_path, "--lambda", "6560"])
     with pytest.raises(SystemExit):
         cli_main([config_path, "--lambda", "6570:6560:0.1"])
+
+
+def test_cli_grid_scan_and_resume(config_path, tmp_path, capsys):
+    """--grid runs a checkpointed library scan over a directory of model
+    files; a second invocation resumes (skips) completed chunks."""
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    model_dir = tmp_path / "models"
+    model_dir.mkdir()
+    for teff in (5000.0, 5777.0, 6500.0):
+        write_marcs_file(model_dir / f"t{int(teff)}.mod", teff=teff)
+    scan = tmp_path / "scan"
+
+    rc = cli_main(
+        [
+            config_path,
+            "--lambda", "6560:6566:0.1",
+            "--grid", str(model_dir),
+            "--scan-out", str(scan),
+            "--batch-size", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "grid scan complete: 3 models" in out
+    assert "2 chunk(s) computed" in out
+
+    from stardis_tpu.grid import load_grid
+
+    spectra, nus, labels = load_grid(scan)
+    assert spectra.shape == (3, 60) and np.isfinite(spectra).all()
+    assert labels[0]["fname"].endswith("t5000.mod")
+
+    # resume: nothing recomputed
+    rc = cli_main(
+        [
+            config_path,
+            "--lambda", "6560:6566:0.1",
+            "--grid", str(model_dir),
+            "--scan-out", str(scan),
+            "--batch-size", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "0 chunk(s) computed (+2 resumed)" in out
+
+
+def test_cli_grid_needs_scan_out(config_path, tmp_path):
+    with pytest.raises(SystemExit, match="scan-out"):
+        cli_main(
+            [config_path, "--lambda", "6560:6566:0.1",
+             "--grid", str(tmp_path)]
+        )

@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 
 from stardis_tpu import units as u
 from stardis_tpu.io.marcs import read_marcs_model
@@ -59,3 +60,65 @@ def test_spherical_flag_roundtrip(tmp_path, builtin_atom_data):
     geom = model.to_geometry()
     assert geom.reference_r is None
     assert len(np.asarray(geom.r)) == 40
+
+
+def test_nuclide_rescaling_and_read_stellar_model_override(tmp_path):
+    """input_model.nuclide_rescaling_dict multiplies the named elements'
+    mass fractions then renormalizes (reference io/base.py:119-130 +
+    io/model/util.py:87-114), and read_stellar_model(fname=...) reads a
+    different model file under the same config (the grid-scan surface)."""
+    import yaml
+
+    from stardis_tpu import parse_config_to_model
+    from stardis_tpu.base import read_stellar_model
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    model_path = tmp_path / "sun.mod"
+    write_marcs_file(model_path)
+    base_cfg = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs",
+            "fname": str(model_path),
+            "final_atomic_number": 5,
+        },
+        "opacity": {"line": {"disable": True}},
+        "no_of_thetas": 3,
+        "result_options": {},
+    }
+    plain_path = tmp_path / "plain.yml"
+    plain_path.write_text(yaml.safe_dump(base_cfg))
+    _, _, model_plain = parse_config_to_model(plain_path)
+
+    scaled_cfg = dict(base_cfg)
+    scaled_cfg["input_model"] = dict(
+        base_cfg["input_model"], nuclide_rescaling_dict={"He": 2.0}
+    )
+    scaled_path = tmp_path / "scaled.yml"
+    scaled_path.write_text(yaml.safe_dump(scaled_cfg))
+    config, adata, model_scaled = parse_config_to_model(scaled_path)
+
+    f0 = model_plain.composition.nuclide_mass_fraction
+    f1 = model_scaled.composition.nuclide_mass_fraction
+    scale = pd.Series(1.0, index=f0.index)
+    scale.loc[2] = 2.0
+    expected = f0.mul(scale, axis=0)
+    expected = expected / expected.sum(axis=0)
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(expected), rtol=1e-12
+    )
+
+    # fname override reads a different atmosphere under the same config
+    hot_path = tmp_path / "hot.mod"
+    write_marcs_file(hot_path, teff=7000.0)
+    model_hot = read_stellar_model(config, adata, hot_path)
+    assert (
+        np.asarray(model_hot.temperatures).max()
+        > np.asarray(model_scaled.temperatures).max()
+    )
+    # the override model gets the same rescaling rules applied
+    f_hot = model_hot.composition.nuclide_mass_fraction
+    np.testing.assert_allclose(f_hot.sum(axis=0), 1.0, rtol=1e-12)
+    ratio = np.asarray(f_hot.loc[2]) / np.asarray(f1.loc[2])
+    assert np.all(ratio > 0)
