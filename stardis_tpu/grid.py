@@ -26,6 +26,12 @@ A re-run over the same ``out_dir``:
 So a scan killed at chunk k resumes at chunk k, bit-identically to an
 uninterrupted run (chunking fixes the batch contents, and each batch is
 an independent computation).
+
+Multi-host: every process executes every chunk (run_batch over a global
+mesh is a collective program), but only process 0 writes checkpoints —
+``out_dir`` must be a SHARED filesystem so the skip decisions (which are
+filesystem reads) agree across processes; divergent skip decisions would
+desynchronize the collective.
 """
 
 from __future__ import annotations
@@ -131,6 +137,12 @@ def synthesize_grid(
     dict with ``completed`` / ``total`` chunk counts, ``out_dir``, and
     ``done`` (True when every chunk file exists).
     """
+    try:
+        import jax
+
+        lead = jax.process_index() == 0
+    except Exception:
+        lead = True
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     n_models = len(stellar_models)
@@ -173,13 +185,13 @@ def synthesize_grid(
                 "(frequency grid / model count / chunking / labels "
                 "mismatch); use a fresh out_dir or delete the old scan"
             )
-    else:
+    elif lead:
         tmp = manifest_path.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(manifest, indent=1, default=float))
         os.replace(tmp, manifest_path)
     # the frequency grid itself, once (needed to interpret the spectra)
     nus_path = out_dir / "tracing_nus.npz"
-    if not nus_path.exists():
+    if lead and not nus_path.exists():
         _atomic_savez(nus_path, tracing_nus=nus)
 
     plan = None
@@ -207,7 +219,8 @@ def synthesize_grid(
         f_nu = np.asarray(run_batch(plan, batch, mesh=mesh))  # [b, D, N]
         f_nu = f_nu[: len(idx)]
         spectrum = f_nu if store_depths else f_nu[:, -1, :]
-        _atomic_savez(path, idx=idx, spectrum=spectrum)
+        if lead:
+            _atomic_savez(path, idx=idx, spectrum=spectrum)
         computed += 1
 
     done = all(
