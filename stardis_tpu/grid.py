@@ -197,6 +197,7 @@ def synthesize_grid(
     plan = None
     computed = 0
     skipped = 0
+    finished = set()  # chunk indices done in THIS invocation or on disk
     for ci in range(n_chunks):
         lo = ci * batch_size
         hi = min(lo + batch_size, n_models)
@@ -204,6 +205,7 @@ def synthesize_grid(
         path = out_dir / _chunk_name(ci)
         if resume and _chunk_ok(path, idx):
             skipped += 1
+            finished.add(ci)
             continue
         if max_chunks is not None and computed >= max_chunks:
             break
@@ -216,17 +218,32 @@ def synthesize_grid(
                                      dtype=dtype)
         else:
             batch = collect_batch_inputs(config, members, plan, dtype=dtype)
-        f_nu = np.asarray(run_batch(plan, batch, mesh=mesh))  # [b, D, N]
+        out = run_batch(plan, batch, mesh=mesh)  # [b, D, N]
+        if getattr(out, "is_fully_addressable", True):
+            f_nu = np.asarray(out)
+        else:
+            # multi-host global mesh: every process holds only its shards;
+            # gather so the lead process can write the whole chunk
+            from jax.experimental import multihost_utils
+
+            f_nu = np.asarray(multihost_utils.process_allgather(out,
+                                                                tiled=True))
         f_nu = f_nu[: len(idx)]
         spectrum = f_nu if store_depths else f_nu[:, -1, :]
         if lead:
             _atomic_savez(path, idx=idx, spectrum=spectrum)
         computed += 1
+        finished.add(ci)
 
+    # chunks computed in this invocation count as done without re-reading
+    # the filesystem (a non-lead process never writes, and the lead's
+    # write may not be visible to peers yet)
     done = all(
-        _chunk_ok(out_dir / _chunk_name(ci),
-                  np.arange(ci * batch_size, min((ci + 1) * batch_size,
-                                                 n_models)))
+        ci in finished
+        or _chunk_ok(
+            out_dir / _chunk_name(ci),
+            np.arange(ci * batch_size, min((ci + 1) * batch_size, n_models)),
+        )
         for ci in range(n_chunks)
     )
     return {

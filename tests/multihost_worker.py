@@ -12,6 +12,9 @@ mode "nu" (default): 1-D wavelength sharding over the global mesh.
 mode "batchnu": the 2-D batch x nu mesh from distributed.make_batch_nu_mesh
 (batch rows across processes — the DCN axis on real pods — nu within each
 process's devices), exercising run_batch's sharded stage live.
+mode "grid": a checkpointed grid scan (stardis_tpu.grid) over a GLOBAL
+batch mesh — every process executes the collective chunk, only process 0
+writes checkpoints into the shared outdir.
 """
 
 import os
@@ -87,6 +90,28 @@ def main():
     lam = np.arange(6560.0, 6570.0, 0.05)
     nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
     plan = build_simulation_plan(config, adata, model, nus)
+
+    if mode == "grid":
+        # checkpointed library scan over a GLOBAL batch mesh: one chunk of
+        # 8 models, one model per device, both processes in the collective
+        from jax.sharding import Mesh
+        from stardis_tpu.base import read_stellar_model
+        from stardis_tpu.grid import synthesize_grid
+
+        teffs = [4800.0 + 300.0 * k for k in range(8)]
+        models = []
+        for k, teff in enumerate(teffs):
+            p = os.path.join(outdir, f"grid_{proc_id}_{k}.mod")
+            write_marcs_file(p, teff=teff)
+            models.append(read_stellar_model(config, adata, p))
+        mesh = Mesh(np.asarray(jax.devices()), ("batch",))
+        res = synthesize_grid(
+            config, adata, models, nus, os.path.join(outdir, "scan"),
+            batch_size=8, mesh=mesh,
+        )
+        assert res["done"], res
+        print(f"proc {proc_id}: grid scan {res}", flush=True)
+        return
 
     if mode == "batchnu":
         # 2-D mesh live: batch rows across the two processes (the DCN axis

@@ -143,3 +143,36 @@ def test_two_process_batch_nu_mesh(tmp_path):
     np.testing.assert_allclose(
         f_b[:, :, : f_ref.shape[2]], np.asarray(f_ref), rtol=1e-10, atol=0
     )
+
+
+@pytest.mark.slow
+def test_two_process_grid_scan(tmp_path):
+    """LIVE distributed grid scan: both processes execute the collective
+    chunk over a global batch mesh; only process 0 writes checkpoints into
+    the shared out_dir, and the assembled library equals a single-process
+    scan of the same models."""
+    _run_workers(tmp_path, "grid")
+
+    from stardis_tpu import parse_config_to_model, units as u
+    from stardis_tpu.base import read_stellar_model
+    from stardis_tpu.grid import load_grid, synthesize_grid
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    spectra, nus_out, _labels = load_grid(tmp_path / "scan")
+    assert spectra.shape[0] == 8 and np.isfinite(spectra).all()
+
+    # single-process reference scan on identical models
+    config, adata, _m = parse_config_to_model(str(tmp_path / "c0.yml"))
+    teffs = [4800.0 + 300.0 * k for k in range(8)]
+    models = []
+    for k, teff in enumerate(teffs):
+        p = tmp_path / f"ref_{k}.mod"
+        write_marcs_file(p, teff=teff)
+        models.append(read_stellar_model(config, adata, p))
+    lam = np.arange(6560.0, 6570.0, 0.05)
+    nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
+    ref_dir = tmp_path / "ref_scan"
+    res = synthesize_grid(config, adata, models, nus, ref_dir, batch_size=8)
+    assert res["done"]
+    spec_ref, *_ = load_grid(ref_dir)
+    np.testing.assert_allclose(spectra, spec_ref, rtol=1e-10, atol=0)
