@@ -255,6 +255,113 @@ def synthesize_grid(
     }
 
 
+class GridInterpolator:
+    """Differentiable multilinear interpolation over a spectral library.
+
+    The standard consumption pattern for a synthetic grid: spectra are
+    synthesized at tensor-grid parameter points (Teff, log g, ...) and
+    interpolated to arbitrary parameter values when fitting an observed
+    spectrum.  The interpolation is pure jnp, so ``jax.grad`` flows
+    through the query parameters — a chi-square fit against an observed
+    spectrum can descend on (Teff, ...) directly through the emulator
+    (and compose with the differentiable post-processing kernels for
+    v sin i / resolution).
+
+    Parameters
+    ----------
+    points : [M, P] parameter values of the library members.  They must
+        form a full tensor grid (every combination of each axis's unique
+        values present exactly once) — the library layout
+        ``synthesize_grid`` produces when driven over nested parameter
+        loops.
+    spectra : [M, ...] per-member spectra (any trailing shape).
+
+    Queries outside the grid hull are clamped to the boundary (constant
+    extrapolation) — clamping keeps gradients finite and a fit inside
+    the hull unaffected.
+    """
+
+    def __init__(self, points, spectra):
+        import jax.numpy as jnp
+
+        points = np.asarray(points, dtype=np.float64)
+        spectra = np.asarray(spectra)
+        if points.ndim == 1:
+            points = points[:, None]
+        m, p = points.shape
+        if spectra.shape[0] != m:
+            raise ValueError("points and spectra disagree on member count")
+        self.axes = [np.unique(points[:, a]) for a in range(p)]
+        shape = tuple(len(ax) for ax in self.axes)
+        if int(np.prod(shape)) != m:
+            raise ValueError(
+                f"{m} members do not form a tensor grid over axis sizes "
+                f"{shape} — every parameter combination must appear "
+                "exactly once"
+            )
+        # place each member at its grid cell
+        grid = np.empty(shape + spectra.shape[1:], dtype=spectra.dtype)
+        filled = np.zeros(shape, dtype=bool)
+        for k in range(m):
+            idx = tuple(
+                int(np.searchsorted(self.axes[a], points[k, a]))
+                for a in range(p)
+            )
+            if filled[idx]:
+                raise ValueError(
+                    f"duplicate grid point {tuple(points[k])}"
+                )
+            filled[idx] = True
+            grid[idx] = spectra[k]
+        if not filled.all():
+            raise ValueError("missing tensor-grid combinations")
+        self.grid = jnp.asarray(grid)
+        self._axes_dev = [jnp.asarray(ax) for ax in self.axes]
+
+    def __call__(self, *params):
+        """Interpolated spectrum at the given parameter values (one scalar
+        per axis; traced values are fine — jit/grad-compatible)."""
+        import itertools
+
+        import jax.numpy as jnp
+
+        if len(params) != len(self.axes):
+            raise ValueError(
+                f"expected {len(self.axes)} parameters, got {len(params)}"
+            )
+        cells = []
+        for x, ax in zip(params, self._axes_dev):
+            if len(ax) == 1:
+                cells.append((jnp.asarray(0), jnp.asarray(0.0)))
+                continue
+            i = jnp.clip(jnp.searchsorted(ax, x) - 1, 0, len(ax) - 2)
+            t = (x - ax[i]) / (ax[i + 1] - ax[i])
+            cells.append((i, jnp.clip(t, 0.0, 1.0)))
+        out = 0.0
+        for corner in itertools.product((0, 1), repeat=len(cells)):
+            w = 1.0
+            idx = []
+            for (i, t), c in zip(cells, corner):
+                w = w * (t if c else 1.0 - t)
+                idx.append(i + c)
+            out = out + w * self.grid[tuple(idx)]
+        return out
+
+    @classmethod
+    def from_scan(cls, out_dir, keys):
+        """Build from a completed synthesize_grid directory whose labels
+        carry numeric parameters, e.g. keys=("teff", "logg")."""
+        spectra, _nus, labels = load_grid(out_dir)
+        if labels is None:
+            raise ValueError("the scan has no labels to interpolate over")
+        if np.isnan(spectra).any():
+            raise ValueError("the scan is incomplete (NaN members present)")
+        points = np.asarray(
+            [[float(lab[k]) for k in keys] for lab in labels]
+        )
+        return cls(points, spectra)
+
+
 def load_grid(out_dir):
     """Assemble a completed (or partial) grid scan.
 

@@ -138,3 +138,94 @@ def test_grid_store_depths_and_manifest(grid_setup, tmp_path):
     assert spec.shape == (2, n_depth, len(nus))
     manifest = json.loads((out / "manifest.json").read_text())
     assert manifest["store_depths"] and manifest["n_models"] == 2
+
+
+def test_grid_interpolator_multilinear_exact():
+    """Multilinear interpolation is exact for spectra linear in the
+    parameters, on an unordered 2-D tensor grid; outside the hull the
+    query clamps to the boundary."""
+    from stardis_tpu.grid import GridInterpolator
+
+    t_ax = np.array([4000.0, 5000.0, 6000.0])
+    g_ax = np.array([1.0, 2.5, 4.0, 5.5])
+    pts, spec = [], []
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=7)
+    b = rng.normal(size=7)
+    c = rng.normal(size=7)
+    for t in t_ax:
+        for g in g_ax:
+            pts.append((t, g))
+            spec.append(a * t + b * g + c)
+    order = rng.permutation(len(pts))
+    interp = GridInterpolator(
+        np.asarray(pts)[order], np.asarray(spec)[order]
+    )
+    for t, g in [(4321.0, 1.7), (5999.0, 5.4), (4000.0, 1.0), (5500.0, 2.5)]:
+        np.testing.assert_allclose(
+            np.asarray(interp(t, g)), a * t + b * g + c, rtol=1e-12
+        )
+    # clamped extrapolation = boundary value
+    np.testing.assert_allclose(
+        np.asarray(interp(3000.0, 0.0)),
+        np.asarray(interp(4000.0, 1.0)), rtol=1e-12,
+    )
+
+    # non-tensor layouts are refused
+    with pytest.raises(ValueError, match="tensor grid"):
+        GridInterpolator(np.asarray(pts)[:-1], np.asarray(spec)[:-1])
+
+
+def test_grid_interpolator_from_scan_and_gradient(grid_setup, tmp_path):
+    """An emulator built from a completed scan reproduces grid nodes
+    exactly, tracks a directly synthesized intermediate Teff to a few
+    percent, and is differentiable in Teff (the fit-through-the-library
+    story)."""
+    import jax.numpy as jnp
+
+    from stardis_tpu.grid import GridInterpolator, synthesize_grid
+    from stardis_tpu.parallel.batch import make_batch, run_batch
+
+    config, adata, models, nus, labels = grid_setup
+    out = tmp_path / "scan"
+    res = synthesize_grid(config, adata, models, nus, out, batch_size=5,
+                          labels=labels)
+    assert res["done"]
+    interp = GridInterpolator.from_scan(out, keys=("teff",))
+
+    # exact at a node
+    node = np.asarray(interp(5777.0))
+    plan_b, batch = make_batch(config, adata, [models[2], models[2]], nus)
+    direct = np.asarray(run_batch(plan_b, batch))[0, -1, :]
+    np.testing.assert_allclose(node, direct, rtol=1e-10)
+
+    # intermediate Teff: emulator vs direct synthesis at 5500 K
+    from stardis_tpu.io.marcs import read_marcs_model
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.base import read_stellar_model
+
+    p = tmp_path / "t5500.mod"
+    write_marcs_file(p, teff=5500.0)
+    m55 = read_stellar_model(config, adata, p)
+    plan_b, batch = make_batch(config, adata, [m55, m55], nus)
+    direct55 = np.asarray(run_batch(plan_b, batch))[0, -1, :]
+    emul55 = np.asarray(interp(5500.0))
+    err = np.max(np.abs(emul55 - direct55) / direct55)
+    assert err < 0.05, f"emulator error {err:.3f}"
+
+    # differentiable in Teff: recover the target by gradient descent
+    target = jnp.asarray(interp(5600.0))
+
+    def loss(t):
+        model = interp(t)
+        return jnp.sum(((model - target) / target) ** 2)
+
+    g = jax.grad(loss)(5300.0)
+    eps = 1.0
+    fd = (loss(5300.0 + eps) - loss(5300.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+    t = 5300.0
+    gfn = jax.jit(jax.grad(loss))
+    for _ in range(200):
+        t = t - float(np.clip(2e4 * float(gfn(t)), -20.0, 20.0))
+    assert abs(t - 5600.0) < 10.0, t
