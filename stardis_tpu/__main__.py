@@ -161,7 +161,16 @@ def _run_grid(args, lambdas_aa, overrides):
         raise SystemExit("--grid needs --scan-out DIR for the checkpoints")
     root = Path(args.grid)
     if root.is_dir():
-        files = sorted(p for p in root.iterdir() if p.is_file())
+        # directory mode keeps only model-looking files (.mod / .mod.gz /
+        # .dat) so a stray README or config.yml in the folder doesn't
+        # become a garbage grid member; use a glob for other layouts
+        files = sorted(
+            p for p in root.iterdir()
+            if p.is_file() and (
+                p.suffix in (".mod", ".dat")
+                or p.name.endswith((".mod.gz", ".dat.gz"))
+            )
+        )
     else:
         files = sorted(Path(p) for p in _glob.glob(args.grid))
     if not files:

@@ -16,8 +16,12 @@ compile-free), and checkpoints each completed chunk ATOMICALLY
 pins the grid's identity (frequency grid, model count, chunking, labels).
 A re-run over the same ``out_dir``:
 
-* verifies the manifest matches the requested grid (a different grid in
-  the same directory is an error, not a silent mix);
+* verifies the manifest matches the requested grid — the identity hash
+  covers the frequency grid, chunking, labels, the full validated config
+  AND every model's physical arrays, so a different grid, changed
+  opacity settings, or an edited model file in the same directory is an
+  error, not a silent mix (this is why resuming re-reads the model
+  files: their content feeds the identity check);
 * skips chunks whose files exist and load cleanly (a chunk truncated by
   a kill cannot exist — the rename is atomic — but unreadable files are
   recomputed, not trusted);
@@ -52,15 +56,31 @@ def _chunk_name(i: int) -> str:
     return f"chunk_{i:05d}.npz"
 
 
-def _grid_identity(tracing_nus_hz, n_models, batch_size, labels, store_depths):
-    """Fingerprint of everything that defines chunk contents/shapes."""
+def _grid_identity(tracing_nus_hz, batch_size, labels, store_depths,
+                   config, stellar_models):
+    """Fingerprint of everything that defines chunk contents: the
+    frequency grid, the chunking, the labels, the full validated config
+    (opacity sources, broadening list, window mode, ...) and each model's
+    physical arrays — so a resumed scan cannot silently mix spectra
+    computed under different physics or edited model files."""
     import hashlib
 
     h = hashlib.md5()
     h.update(np.ascontiguousarray(np.asarray(tracing_nus_hz, np.float64)).tobytes())
-    h.update(str((int(n_models), int(batch_size), bool(store_depths))).encode())
+    h.update(str((len(stellar_models), int(batch_size),
+                  bool(store_depths))).encode())
     if labels is not None:
         h.update(json.dumps(labels, sort_keys=True, default=float).encode())
+    cfg_dict = config.to_dict() if hasattr(config, "to_dict") else config
+    h.update(json.dumps(cfg_dict, sort_keys=True, default=str).encode())
+    for m in stellar_models:
+        h.update(np.ascontiguousarray(
+            np.asarray(m.temperatures, np.float64)).tobytes())
+        h.update(np.ascontiguousarray(
+            np.asarray(m.geometry.r, np.float64)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(
+            m.composition.elemental_number_density.values, np.float64
+        )).tobytes())
     return h.hexdigest()
 
 
@@ -134,8 +154,8 @@ def synthesize_grid(
 
     Returns
     -------
-    dict with ``completed`` / ``total`` chunk counts, ``out_dir``, and
-    ``done`` (True when every chunk file exists).
+    dict with ``computed`` / ``skipped`` / ``total`` chunk counts,
+    ``out_dir``, and ``done`` (True when every chunk is finished).
     """
     try:
         import jax
@@ -155,6 +175,8 @@ def synthesize_grid(
             batch_size = int(mesh.shape["batch"])
         else:
             batch_size = min(8, n_models)
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     if mesh is not None and "batch" in mesh.axis_names and (
         batch_size % int(mesh.shape["batch"])
     ):
@@ -163,9 +185,13 @@ def synthesize_grid(
             f"batch axis ({int(mesh.shape['batch'])})"
         )
 
-    nus = np.asarray(tracing_nus_hz, dtype=np.float64)
+    # normalize to the pipeline's grid convention (descending Hz) so the
+    # saved tracing_nus always matches the chunk spectra's frequency axis
+    # regardless of the caller's ordering
+    nus = np.sort(np.asarray(tracing_nus_hz, dtype=np.float64))[::-1].copy()
     n_chunks = -(-n_models // batch_size)
-    identity = _grid_identity(nus, n_models, batch_size, labels, store_depths)
+    identity = _grid_identity(nus, batch_size, labels, store_depths,
+                              config, stellar_models)
 
     manifest_path = out_dir / _MANIFEST
     manifest = {
@@ -174,6 +200,7 @@ def synthesize_grid(
         "batch_size": batch_size,
         "n_chunks": n_chunks,
         "n_nu": int(len(nus)),
+        "n_depth": int(stellar_models[0].no_of_depth_points),
         "store_depths": store_depths,
         "labels": labels,
     }
@@ -389,5 +416,8 @@ def load_grid(out_dir):
                               dtype=spec.dtype)
         spectra[idx] = spec
     if spectra is None:
-        spectra = np.full((n_models, manifest["n_nu"]), np.nan)
+        shape = (n_models, manifest["n_nu"])
+        if manifest.get("store_depths") and "n_depth" in manifest:
+            shape = (n_models, manifest["n_depth"], manifest["n_nu"])
+        spectra = np.full(shape, np.nan)
     return spectra, nus, manifest.get("labels")

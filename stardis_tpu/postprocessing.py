@@ -65,7 +65,9 @@ def rotation_broadening(
         return wavelength, u.Quantity(flux_vals, u.erg / u.s / u.cm**2 / u.AA)
 
     v_rot_by_c = max(1e-5, abs(v_rot_kms)) / C_KMS
-    half_width_pix = int(round(v_rot_kms / vel_pix))
+    # |v sin i|: the Gray profile is even in v_rot, and a negative value
+    # must not produce a negative kernel support (matches the JAX twin)
+    half_width_pix = int(round(abs(v_rot_kms) / abs(vel_pix)))
     profile_velocity = (
         np.linspace(-half_width_pix, half_width_pix, 2 * half_width_pix + 1)
         * vel_pix

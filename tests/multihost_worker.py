@@ -89,8 +89,6 @@ def main():
     config, adata, model = parse_config_to_model(cfg_path)
     lam = np.arange(6560.0, 6570.0, 0.05)
     nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
-    plan = build_simulation_plan(config, adata, model, nus)
-
     if mode == "grid":
         # checkpointed library scan over a GLOBAL batch mesh: one chunk of
         # 8 models, one model per device, both processes in the collective
@@ -112,6 +110,8 @@ def main():
         assert res["done"], res
         print(f"proc {proc_id}: grid scan {res}", flush=True)
         return
+
+    plan = build_simulation_plan(config, adata, model, nus)
 
     if mode == "batchnu":
         # 2-D mesh live: batch rows across the two processes (the DCN axis

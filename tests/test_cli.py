@@ -106,6 +106,9 @@ def test_cli_grid_scan_and_resume(config_path, tmp_path, capsys):
     model_dir.mkdir()
     for teff in (5000.0, 5777.0, 6500.0):
         write_marcs_file(model_dir / f"t{int(teff)}.mod", teff=teff)
+    # stray non-model files must be ignored in directory mode
+    (model_dir / "README.txt").write_text("not a model")
+    (model_dir / "notes.yml").write_text("a: 1")
     scan = tmp_path / "scan"
 
     rc = cli_main(

@@ -229,3 +229,71 @@ def test_grid_interpolator_from_scan_and_gradient(grid_setup, tmp_path):
     for _ in range(200):
         t = t - float(np.clip(2e4 * float(gfn(t)), -20.0, 20.0))
     assert abs(t - 5600.0) < 10.0, t
+
+
+def test_grid_identity_covers_config_and_models(grid_setup, tmp_path):
+    """The identity hash covers the validated config and the model
+    arrays: resuming with changed opacity settings or an edited model is
+    refused (review finding: it used to cover only grid/chunking/labels,
+    silently mixing physics on resume)."""
+    import copy
+
+    config, adata, models, nus, _ = grid_setup
+    out = tmp_path / "scan"
+    synthesize_grid(config, adata, models[:2], nus, out, batch_size=2,
+                    max_chunks=0)
+
+    # same grid, different physics -> refused
+    config2 = copy.deepcopy(config)
+    config2.set_config_item("opacity.line.disable", True)
+    with pytest.raises(ValueError, match="DIFFERENT grid"):
+        synthesize_grid(config2, adata, models[:2], nus, out, batch_size=2)
+
+    # same config, perturbed model -> refused
+    import dataclasses as _dc  # noqa: F401
+
+    m_edit = copy.deepcopy(models[1])
+    m_edit.temperatures = np.asarray(m_edit.temperatures) * 1.01
+    with pytest.raises(ValueError, match="DIFFERENT grid"):
+        synthesize_grid(config, adata, [models[0], m_edit], nus, out,
+                        batch_size=2)
+
+
+def test_grid_rejects_bad_batch_size(grid_setup, tmp_path):
+    config, adata, models, nus, _ = grid_setup
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="batch_size"):
+            synthesize_grid(config, adata, models[:2], nus,
+                            tmp_path / "scan", batch_size=bad)
+
+
+def test_grid_ascending_nus_normalized(grid_setup, tmp_path):
+    """Caller frequency ordering must not matter: an ascending input grid
+    produces the same (spectra, nus) pairing as a descending one (review
+    finding: the saved tracing_nus used to keep caller order while chunk
+    spectra followed the plan's descending grid)."""
+    config, adata, models, nus, _ = grid_setup
+    asc = np.sort(np.asarray(nus))
+    desc = asc[::-1].copy()
+    out_a = tmp_path / "asc"
+    out_d = tmp_path / "desc"
+    synthesize_grid(config, adata, models[:2], asc, out_a, batch_size=2)
+    synthesize_grid(config, adata, models[:2], desc, out_d, batch_size=2)
+    spec_a, nus_a, _ = load_grid(out_a)
+    spec_d, nus_d, _ = load_grid(out_d)
+    np.testing.assert_array_equal(nus_a, nus_d)
+    assert nus_a[0] > nus_a[-1]  # pipeline convention: descending Hz
+    np.testing.assert_array_equal(spec_a, spec_d)
+
+
+def test_grid_empty_store_depths_shape(grid_setup, tmp_path):
+    """load_grid on a scan with no chunks yet returns the promised
+    [M, D, N] NaN shape for store_depths scans."""
+    config, adata, models, nus, _ = grid_setup
+    out = tmp_path / "scan"
+    synthesize_grid(config, adata, models[:2], nus, out, batch_size=2,
+                    store_depths=True, max_chunks=0)
+    spec, *_ = load_grid(out)
+    n_depth = models[0].no_of_depth_points
+    assert spec.shape == (2, n_depth, len(nus))
+    assert np.isnan(spec).all()

@@ -302,3 +302,16 @@ def test_postprocessing_f32_consistency():
     i32 = np.asarray(instrumental_broadening_jax(flux32, 2.5, radius_pix=24))
     scale = np.max(np.abs(i64))
     np.testing.assert_allclose(i32 / scale, i64 / scale, atol=2e-6)
+
+
+def test_rotation_host_negative_v_rot():
+    """The host rotation_broadening handles a negative v sin i like its
+    JAX twin: |v sin i| (the Gray profile is even), not a crash from a
+    negative kernel support."""
+    lam, flux = _delta_spectrum()
+    vp = u.Quantity(4.566, u.km / u.s)
+    _, pos = rotation_broadening(vp, lam, flux, v_rot=u.Quantity(23.0, u.km / u.s))
+    _, neg = rotation_broadening(vp, lam, flux, v_rot=u.Quantity(-23.0, u.km / u.s))
+    np.testing.assert_allclose(
+        np.asarray(neg.value), np.asarray(pos.value), rtol=1e-12
+    )
