@@ -71,7 +71,16 @@ def _grid_identity(tracing_nus_hz, batch_size, labels, store_depths,
                   bool(store_depths))).encode())
     if labels is not None:
         h.update(json.dumps(labels, sort_keys=True, default=float).encode())
+    import copy
+
     cfg_dict = config.to_dict() if hasattr(config, "to_dict") else config
+    cfg_dict = copy.deepcopy(cfg_dict)
+    # the config's model PATH is irrelevant (and harmful) here: the model
+    # CONTENT is hashed below, and the same atmosphere at a different
+    # path — per-process file copies on multi-host, or a user moving
+    # their model directory — must not invalidate the checkpoints
+    if isinstance(cfg_dict, dict):
+        cfg_dict.get("input_model", {}).pop("fname", None)
     h.update(json.dumps(cfg_dict, sort_keys=True, default=str).encode())
     for m in stellar_models:
         h.update(np.ascontiguousarray(

@@ -297,3 +297,25 @@ def test_grid_empty_store_depths_shape(grid_setup, tmp_path):
     n_depth = models[0].no_of_depth_points
     assert spec.shape == (2, n_depth, len(nus))
     assert np.isnan(spec).all()
+
+
+def test_grid_identity_ignores_model_path(grid_setup, tmp_path):
+    """The identity hash covers model CONTENT, not the config's model
+    path: the same atmosphere read from a different file path (multi-host
+    per-process copies, or a moved model directory) must resume, not
+    refuse.  (Regression: the two-process live scan raced on this —
+    whichever worker read the other's manifest first saw a different
+    input_model.fname and raised DIFFERENT grid.)"""
+    import copy
+
+    config, adata, models, nus, _ = grid_setup
+    out = tmp_path / "scan"
+    synthesize_grid(config, adata, models[:2], nus, out, batch_size=2)
+
+    config2 = copy.deepcopy(config)
+    config2.set_config_item(
+        "input_model.fname", str(tmp_path / "elsewhere" / "sun.mod")
+    )
+    res = synthesize_grid(config2, adata, models[:2], nus, out,
+                          batch_size=2)
+    assert res["done"] and res["skipped"] == 1 and res["computed"] == 0
