@@ -2,6 +2,9 @@
 a 100k-line synthetic VALD list.
 
 Usage: python bench_wide.py [n_lambda] [reference|accuracy]
+Set WIDE_SEGMENTS=K to run the single-chip wavelength segmentation
+(parallel.sharding.segmented_spectrum) — required above ~300k points at
+20 thetas, where the unsegmented program exceeds v5e HBM.
 """
 # full-visible stress: 4000-7000 AA @ 0.02 AA = 150k lambda-points, 100k lines
 import sys
@@ -37,7 +40,16 @@ s1 = jax.jit(lambda t, n: stage_plasma_and_lines(plan, t, n))
 state, lq = s1(temps, n_elem); jax.block_until_ready(state.electron_densities)
 w = line_window_tiers(plan, lq, state)
 hist = {k: v.histogram() for k, v in w.items()}
-s2 = jax.jit(lambda s, q: stage_spectrum(plan, s, q, window=w, chunk=None)[0])
+segments = int(os.environ.get("WIDE_SEGMENTS", "0"))
+if segments > 1:
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+
+    s2 = lambda s, q: segmented_spectrum(plan, s, q, w, n_segments=segments,
+                                         chunk=None)
+else:
+    s2 = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=w, chunk=None)[0]
+    )
 f = s2(state, lq); jax.block_until_ready(f)
 t0 = time.perf_counter()
 for _ in range(3):
@@ -45,4 +57,5 @@ for _ in range(3):
     jax.block_until_ready(f)  # per-iteration sync: end-only blocking can
     # return before queued axon executions finish (see bench.py)
 wall = (time.perf_counter() - t0) / 3
-print(f"full-visible: {len(lam)} lambda x 56 depth, {plan.line_data.n_lines} lines, wall {wall:.2f}s, tiers {hist}")
+seg_note = f", {segments} segments" if segments > 1 else ""
+print(f"full-visible: {len(lam)} lambda x 56 depth, {plan.line_data.n_lines} lines, wall {wall:.2f}s{seg_note}, tiers {hist}")

@@ -130,6 +130,7 @@ def collect_batch_inputs(config, stellar_models, plan,
 # being reused; eviction drops the closure and the plan together.
 _STAGE1_CACHE = {}
 _STAGE2_CACHE = {}
+_SEG_CACHE = {}  # segmented_spectrum's compiled segment programs
 _CACHE_LIMIT = 32
 _CACHE_LOCK = __import__("threading").Lock()
 

@@ -533,6 +533,176 @@ def shard_batch_spectrum(
     return f_nu
 
 
+def segmented_spectrum(
+    plan: SimulationPlan,
+    state,
+    line_quants,
+    window,
+    n_segments: int,
+    chunk: int | None = None,
+):
+    """Single-chip wavelength segmentation: grids beyond HBM.
+
+    The formal solution and the dense line tiers materialize [depth, N]
+    (x theta) temporaries, so one chip OOMs somewhere above ~300k pixels
+    at 20 angles (measured on v5e).  This runs the SAME per-shard
+    programs the multi-chip path uses (bucket_pair_programs_per_shard:
+    panel/split/dense schedules, exact collective-free partition), but
+    executes the ``n_segments`` segments SERIALLY on one device — one
+    compile (all segment schedules are padded to common shapes), K
+    executions, peak memory ~1/K.  Segmented == unsharded at the same
+    1e-10 bar as sharded == unsharded, because it is literally the
+    sharded partition replayed serially.
+
+    Returns F_nu [D, N] (or (F_nu, I_nus) when the plan tracks
+    per-angle intensities).
+    """
+    import dataclasses
+
+    K = int(n_segments)
+    if K < 1:
+        raise ValueError(f"n_segments must be >= 1, got {n_segments}")
+    nus_padded, pad = _pad_to_multiple(plan.tracing_nus, K)
+    n_padded = len(nus_padded)
+    per_seg = n_padded // K
+    dtype = state.t.dtype
+
+    if plan.window_mode == "accuracy":
+        from stardis_tpu.pipeline import accuracy_epsilon
+
+        eps_global = accuracy_epsilon(plan, state)[None, :]
+    else:
+        eps_global = plan.window_epsilon
+
+    if pad and plan.file_sources:
+        plan = dataclasses.replace(
+            plan,
+            file_sources=[
+                (name, _pad_to_multiple(sig, K, axis=1)[0], dplan)
+                for name, sig, dplan in plan.file_sources
+            ],
+        )
+
+    nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
+    line_sets = {}
+    centers_host = {}
+    if line_quants:
+        if "atomic" in line_quants:
+            centers_host["atomic"] = line_center_indices(
+                nus_padded, plan.line_data.nu
+            )
+            line_sets["atomic"] = (
+                jnp.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
+                jnp.asarray(centers_host["atomic"]),
+            )
+        if "molecular" in line_quants:
+            centers_host["molecular"] = line_center_indices(
+                nus_padded, plan.molecule_line_data.nu
+            )
+            line_sets["molecular"] = (
+                jnp.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
+                jnp.asarray(centers_host["molecular"]),
+            )
+
+    nu_full = jnp.asarray(nus_padded, dtype=dtype)
+    nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
+
+    n_depth = len(plan.temperatures)
+    pair_arrays = {}  # key -> list over programs of [K, ...] host arrays
+    pair_meta = {}
+    for key in line_sets:
+        spec = window[key] if isinstance(window, dict) else window
+        if not isinstance(spec, (BlockedTiers, list, tuple)):
+            raise ValueError("segmented_spectrum needs tiered windows")
+        arrays, metas, blk, n_blocks = bucket_pair_programs_per_shard(
+            spec, centers_host[key], n_depth, n_padded, K, per_seg,
+            chunk=chunk, itemsize=jnp.dtype(dtype).itemsize,
+        )
+        pair_arrays[key] = arrays
+        pair_meta[key] = (metas, blk, n_blocks)
+
+    def seg_fn(offset, tiers_by_key, sv, lq, eps):
+        nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_seg,))
+        nus_local_centered = jax.lax.dynamic_slice(
+            nu_full_centered, (offset,), (per_seg,)
+        )
+        opac = compute_continuum(plan, sv, nus_local, nu_offset=offset)
+        total = None
+        for _k, val in opac.items():
+            total = val if total is None else total + val
+        for key, (alpha, gamma, doppler) in (lq or {}).items():
+            line_nu_dev, centers_dev = line_sets[key]
+            metas, blk, n_blocks = pair_meta[key]
+            alpha_line = accumulate_pairs_blocked(
+                nus_local_centered, line_nu_dev, centers_dev - offset,
+                alpha, gamma, doppler, tiers_by_key[key],
+                blk=blk, n_blocks=n_blocks,
+                d_nu=plan.d_nu, chunk=chunk,
+                window_mode=plan.window_mode, window_epsilon=eps,
+                metas=metas,
+            )
+            total = total + alpha_line
+        source = blackbody_flux_at_nu(nus_local, sv.t)
+        f_nu_local, i_nus_local = raytrace(
+            total,
+            source,
+            jnp.asarray(plan.ray_distances, dtype=dtype),
+            jnp.asarray(plan.weights, dtype=dtype),
+            inward_rays=plan.inward_rays,
+            photospheric_correction=plan.photospheric_correction,
+            track_individual_intensities=plan.track_individual_intensities,
+        )
+        if plan.track_individual_intensities:
+            return f_nu_local, i_nus_local
+        return f_nu_local
+
+    # cache the compiled segment program by plan/segments/tier content so
+    # repeated calls (steady-state loops, serving) don't re-trace: the
+    # closure is state-free — eps and the per-segment schedules arrive as
+    # arguments (run_batch's pattern)
+    from stardis_tpu.parallel.batch import (
+        _cache_get_or_make,
+        _SEG_CACHE,
+        _window_fingerprint,
+    )
+
+    cache_key = (
+        id(plan), K, chunk, per_seg, plan.window_mode,
+        plan.track_individual_intensities, str(dtype),
+        _window_fingerprint(window) if isinstance(window, dict)
+        else window,
+    )
+    jitted = _cache_get_or_make(_SEG_CACHE, cache_key,
+                                lambda: jax.jit(seg_fn))
+    track = plan.track_individual_intensities
+    f_parts, i_parts = [], []
+    for s in range(K):
+        tiers_s = {
+            key: [
+                tuple(
+                    None if a is None else jnp.asarray(a[s])
+                    for a in arrs
+                )
+                for arrs in pair_arrays[key]
+            ]
+            for key in pair_arrays
+        }
+        out = jitted(jnp.asarray(s * per_seg), tiers_s, state, line_quants,
+                     eps_global)
+        if track:
+            f_parts.append(out[0])
+            i_parts.append(out[1])
+        else:
+            f_parts.append(out)
+    f_nu = jnp.concatenate(f_parts, axis=1)[:, : len(plan.tracing_nus)]
+    if track:
+        i_nus = jnp.concatenate(i_parts, axis=1)[
+            :, : len(plan.tracing_nus), :
+        ]
+        return f_nu, i_nus
+    return f_nu
+
+
 def shard_spectrum(
     plan: SimulationPlan,
     state,

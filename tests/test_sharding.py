@@ -234,3 +234,32 @@ def test_split_dense_core_bucketed_by_core_span():
     # schedule entries are bounded by pairs + boundary halo, never ndev x
     core_live = int(arrays[1][2].sum())
     assert n_pairs <= core_live <= 2 * n_pairs, core_live
+
+
+def test_segmented_equals_unsharded(solar_plan):
+    """Single-chip wavelength segmentation (grids beyond HBM) replays the
+    sharded partition serially: segmented == unsharded at the sharded
+    bar, with one compile across segments."""
+    import dataclasses
+
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = dataclasses.replace(solar_plan, track_individual_intensities=True)
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    f_ref, _tot, _op, i_ref = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+
+    # 3 segments: 667 px pads to 669, odd per-segment width
+    f_seg, i_seg = segmented_spectrum(plan, state, lq, tiers, n_segments=3,
+                                      chunk=None)
+    np.testing.assert_allclose(
+        np.asarray(f_seg), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(i_seg), np.asarray(i_ref), rtol=1e-10, atol=0
+    )
