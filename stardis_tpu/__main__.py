@@ -88,6 +88,12 @@ def main(argv=None):
         help="force the CPU backend (skip any accelerator)",
     )
     parser.add_argument(
+        "--segments", type=int, default=1, metavar="K",
+        help="synthesize the grid in K serial wavelength segments "
+        "(exact partition; needed on one chip for grids beyond HBM, "
+        "e.g. >~300k points at 20 angles on v5e)",
+    )
+    parser.add_argument(
         "--grid", metavar="DIR_OR_GLOB",
         help="synthesize a GRID of model files (directory or glob of the "
         "config's input_model.type) with checkpoint/resume; needs "
@@ -126,6 +132,7 @@ def main(argv=None):
         args.config,
         u.Quantity(lambdas_aa, u.AA),
         add_config_dict=overrides or None,
+        nu_segments=args.segments,
     )
     wall = time.perf_counter() - t0
 

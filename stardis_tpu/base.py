@@ -203,7 +203,8 @@ class STARDISOutput:
         )
 
 
-def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None):
+def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
+                nu_segments: int = 1):
     """Run a STARDIS simulation (reference base.py:13-45).
 
     Parameters
@@ -211,6 +212,14 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None):
     config_fname : str — YAML config path.
     tracing_lambdas_or_nus : Quantity with length or frequency units.
     add_config_dict : optional dotted-key overrides.
+    nu_segments : synthesize the wavelength grid in this many serial
+        segments (parallel.sharding.segmented_spectrum) — required on a
+        single chip for grids beyond HBM (measured v5e envelope: between
+        300k and 600k points at 20 angles).  The partition is exact
+        (segmented == unsegmented at 1e-10).  With ``nu_segments > 1``
+        the per-source opacity grids are not retained (their size is the
+        reason to segment); ``return_radiation_field`` still provides
+        ``F_nu`` and per-angle ``I_nus``.
     """
     tracing_nus = tracing_lambdas_or_nus.to(u.Hz, u.spectral())
     tracing_nus_hz = np.atleast_1d(np.asarray(tracing_nus))
@@ -230,7 +239,33 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None):
         plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
     logger.info("Solving plasma, opacities and transfer")
     with timer.stage("solve"):
-        f_nu, total, opacities_dict, i_nus, state, window = run_simulation(plan)
+        if int(nu_segments) > 1:
+            import jax
+            import jax.numpy as jnp
+
+            from stardis_tpu.parallel.sharding import segmented_spectrum
+            from stardis_tpu.pipeline import (
+                line_window_tiers,
+                stage_plasma_and_lines,
+                validate_line_quants,
+            )
+
+            state, lq = jax.jit(
+                lambda t, n: stage_plasma_and_lines(plan, t, n)
+            )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+            validate_line_quants(lq)
+            window = line_window_tiers(plan, lq, state)
+            out = segmented_spectrum(
+                plan, state, lq, window, n_segments=int(nu_segments)
+            )
+            f_nu, i_nus = (
+                out if plan.track_individual_intensities else (out, None)
+            )
+            total, opacities_dict = None, {}
+        else:
+            f_nu, total, opacities_dict, i_nus, state, window = (
+                run_simulation(plan)
+            )
     timer.report()
 
     thetas, weights = gauss_legendre_thetas(int(config.no_of_thetas))

@@ -125,3 +125,27 @@ def test_broadening_configs_change_line_width(test_config_path, example_tracing_
     wing = np.abs(lam - 6564.6) > 2.0
     # pressure broadening moves absorption into the wings
     assert f_b[wing].mean() < f_n[wing].mean()
+
+
+def test_run_stardis_segmented_equals_direct(test_config_path,
+                                             example_tracing_nus):
+    """run_stardis(nu_segments=K) — the grids-beyond-HBM path through the
+    public entry point — matches the direct run at 1e-10, including the
+    per-angle intensities under return_radiation_field."""
+    opts = {"result_options.return_radiation_field": True}
+    direct = run_stardis(test_config_path, example_tracing_nus,
+                         add_config_dict=opts)
+    seg = run_stardis(test_config_path, example_tracing_nus,
+                      add_config_dict=opts, nu_segments=3)
+    np.testing.assert_allclose(
+        np.asarray(seg.spectrum_nu), np.asarray(direct.spectrum_nu),
+        rtol=1e-10, atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg.stellar_radiation_field.I_nus),
+        np.asarray(direct.stellar_radiation_field.I_nus),
+        rtol=1e-10, atol=0,
+    )
+    # per-source opacity grids are deliberately not retained when
+    # segmenting (their size is the reason to segment)
+    assert seg.stellar_radiation_field.opacities.opacities_dict == {}
