@@ -88,10 +88,11 @@ def main(argv=None):
         help="force the CPU backend (skip any accelerator)",
     )
     parser.add_argument(
-        "--segments", type=int, default=1, metavar="K",
+        "--segments", default="1", metavar="K",
         help="synthesize the grid in K serial wavelength segments "
         "(exact partition; needed on one chip for grids beyond HBM, "
-        "e.g. >~300k points at 20 angles on v5e)",
+        "e.g. >~300k points at 20 angles on v5e); 'auto' sizes K from "
+        "the device memory model",
     )
     parser.add_argument(
         "--grid", metavar="DIR_OR_GLOB",
@@ -109,6 +110,15 @@ def main(argv=None):
         "number of models))",
     )
     args = parser.parse_args(argv)
+
+    if args.segments != "auto":
+        try:
+            args.segments = int(args.segments)
+        except ValueError:
+            raise SystemExit(
+                f"--segments expects an integer or 'auto', got "
+                f"{args.segments!r}"
+            )
 
     lambdas_aa = _parse_lambda(args.lambda_spec)
     overrides = dict(_parse_override(item) for item in args.overrides)

@@ -204,7 +204,7 @@ class STARDISOutput:
 
 
 def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
-                nu_segments: int = 1):
+                nu_segments: int | str = 1):
     """Run a STARDIS simulation (reference base.py:13-45).
 
     Parameters
@@ -215,11 +215,14 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
     nu_segments : synthesize the wavelength grid in this many serial
         segments (parallel.sharding.segmented_spectrum) — required on a
         single chip for grids beyond HBM (measured v5e envelope: between
-        300k and 600k points at 20 angles).  The partition is exact
-        (segmented == unsegmented at 1e-10).  With ``nu_segments > 1``
-        the per-source opacity grids are not retained (their size is the
-        reason to segment); ``return_radiation_field`` still provides
-        ``F_nu`` and per-angle ``I_nus``.
+        300k and 600k points at 20 angles).  ``"auto"`` picks the
+        smallest count whose per-segment footprint fits the device by
+        the calibrated memory model (util.memory.choose_nu_segments).
+        The partition is exact (segmented == unsegmented at 1e-10).
+        With more than one segment the per-source opacity grids are not
+        retained (their size is the reason to segment);
+        ``return_radiation_field`` still provides ``F_nu`` and per-angle
+        ``I_nus``.
     """
     tracing_nus = tracing_lambdas_or_nus.to(u.Hz, u.spectral())
     tracing_nus_hz = np.atleast_1d(np.asarray(tracing_nus))
@@ -237,6 +240,18 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
     logger.info("Creating plasma and opacity plan")
     with timer.stage("plan"):
         plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
+    if isinstance(nu_segments, str):
+        if nu_segments != "auto":
+            raise ValueError(
+                f"nu_segments must be an integer or 'auto', got {nu_segments!r}"
+            )
+        from stardis_tpu.util.memory import choose_nu_segments
+
+        nu_segments = choose_nu_segments(plan)
+        if nu_segments > 1:
+            logger.info(
+                "Auto-segmentation: %d serial wavelength segments", nu_segments
+            )
     logger.info("Solving plasma, opacities and transfer")
     with timer.stage("solve"):
         if int(nu_segments) > 1:

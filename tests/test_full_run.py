@@ -149,3 +149,57 @@ def test_run_stardis_segmented_equals_direct(test_config_path,
     # per-source opacity grids are deliberately not retained when
     # segmenting (their size is the reason to segment)
     assert seg.stellar_radiation_field.opacities.opacities_dict == {}
+
+
+def test_run_stardis_auto_segments(test_config_path, example_tracing_nus,
+                                   monkeypatch):
+    """nu_segments='auto' picks K from the device memory model; with a
+    budget squeezed via STARDIS_SEGMENT_BUDGET the tiny test grid takes
+    the segmented path (observable: empty opacities_dict) and still
+    matches the direct run exactly."""
+    from stardis_tpu import parse_config_to_model
+    from stardis_tpu.pipeline import build_simulation_plan
+    from stardis_tpu.util import memory as mem
+
+    opts = {"result_options.return_radiation_field": True}
+    direct = run_stardis(test_config_path, example_tracing_nus,
+                         add_config_dict=opts)
+
+    # compute a budget that forces 2-4 segments for THIS plan's shapes
+    config, adata, model = parse_config_to_model(test_config_path, opts)
+    nus = np.sort(np.asarray(
+        example_tracing_nus.to(u.Hz, u.spectral())
+    ))[::-1]
+    plan = build_simulation_plan(config, adata, model, nus)
+    per_px = (
+        mem.estimate_segment_bytes(
+            1, len(plan.temperatures), len(plan.weights),
+            mem.count_alpha_sources(plan),
+            plan.track_individual_intensities,
+        )
+        - mem.WORKSET_BYTES
+    )
+    variable = len(plan.tracing_nus) * per_px
+    fixed = mem.fixed_overhead_bytes(plan) + mem.WORKSET_BYTES
+    budget = int((fixed + variable / 3) / mem.HEADROOM)
+    assert mem.choose_nu_segments(plan, bytes_limit=budget) > 1
+
+    monkeypatch.setenv("STARDIS_SEGMENT_BUDGET", str(budget))
+    auto = run_stardis(test_config_path, example_tracing_nus,
+                       add_config_dict=opts, nu_segments="auto")
+    # the segmented path ran (it drops the per-source opacity grids)
+    assert auto.stellar_radiation_field.opacities.opacities_dict == {}
+    np.testing.assert_allclose(
+        np.asarray(auto.spectrum_nu), np.asarray(direct.spectrum_nu),
+        rtol=1e-10, atol=0,
+    )
+
+    # a generous budget keeps the direct path (opacity grids retained)
+    monkeypatch.setenv("STARDIS_SEGMENT_BUDGET", str(1 << 50))
+    plain = run_stardis(test_config_path, example_tracing_nus,
+                        add_config_dict=opts, nu_segments="auto")
+    assert plain.stellar_radiation_field.opacities.opacities_dict != {}
+
+    with pytest.raises(ValueError, match="auto"):
+        run_stardis(test_config_path, example_tracing_nus,
+                    add_config_dict=opts, nu_segments="every")
