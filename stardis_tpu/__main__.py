@@ -95,6 +95,12 @@ def main(argv=None):
         "the device memory model",
     )
     parser.add_argument(
+        "--compile-cache", metavar="DIR",
+        help="persistent XLA compilation cache directory (repeat runs "
+        "skip the 20-40s first compile); the STARDIS_COMPILE_CACHE env "
+        "var does the same for library use",
+    )
+    parser.add_argument(
         "--grid", metavar="DIR_OR_GLOB",
         help="synthesize a GRID of model files (directory or glob of the "
         "config's input_model.type) with checkpoint/resume; needs "
@@ -130,6 +136,11 @@ def main(argv=None):
         # CPU can afford f64, and the host plan defaults to it — without
         # x64 every device transfer warns and truncates to f32
         jax.config.update("jax_enable_x64", True)
+
+    if args.compile_cache:
+        from stardis_tpu.util.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     from stardis_tpu import run_stardis
     from stardis_tpu import units as u

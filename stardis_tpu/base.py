@@ -224,6 +224,10 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
         ``return_radiation_field`` still provides ``F_nu`` and per-angle
         ``I_nus``.
     """
+    from stardis_tpu.util.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # no-op unless STARDIS_COMPILE_CACHE is set
+
     tracing_nus = tracing_lambdas_or_nus.to(u.Hz, u.spectral())
     tracing_nus_hz = np.atleast_1d(np.asarray(tracing_nus))
 

@@ -166,6 +166,9 @@ def synthesize_grid(
     dict with ``computed`` / ``skipped`` / ``total`` chunk counts,
     ``out_dir``, and ``done`` (True when every chunk is finished).
     """
+    from stardis_tpu.util.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # no-op unless STARDIS_COMPILE_CACHE set
     try:
         import jax
 

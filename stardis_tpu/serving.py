@@ -65,6 +65,9 @@ class SpectralService:
     ):
         from stardis_tpu import units as u
         from stardis_tpu.base import parse_config_to_model
+        from stardis_tpu.util.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()  # no-op unless STARDIS_COMPILE_CACHE set
 
         self._dtype = dtype
         self._tier_margin = float(tier_margin)
