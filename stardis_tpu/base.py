@@ -49,10 +49,12 @@ def set_num_threads(n_threads):
 def _load_atom_data(spec: str) -> AtomData:
     """Resolve the config ``atom_data`` entry.
 
-    Accepts a path to a stardis_tpu HDF file, or the special values
-    ``builtin`` / ``builtin:<Zmax>`` for the generated dataset (this
-    environment has no network access to fetch kurucz data — documented
-    divergence from the reference's download_atom_data flow)."""
+    Accepts a path to a stardis_tpu HDF file; the special values
+    ``builtin`` / ``builtin:<Zmax>`` for the generated dataset; or a
+    published store name (atom_data.download.KNOWN_ATOM_DATA, e.g.
+    ``kurucz_cd23_chianti_H_He``), which is downloaded + converted on
+    first use — the reference's download_atom_data flow
+    (reference conftest.py:61)."""
     if spec.startswith("builtin"):
         z_max = 30
         if ":" in spec:
@@ -62,6 +64,13 @@ def _load_atom_data(spec: str) -> AtomData:
             include_linelists=True,
             include_molecules=True,
         )
+    from stardis_tpu.atom_data.download import (
+        KNOWN_ATOM_DATA,
+        download_atom_data,
+    )
+
+    if spec in KNOWN_ATOM_DATA:
+        return AtomData.from_hdf(download_atom_data(spec))
     return AtomData.from_hdf(spec)
 
 

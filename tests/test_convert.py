@@ -295,3 +295,58 @@ def test_from_hdf_error_names_real_converter(tmp_path):
     with pytest.raises(ValueError, match="convert"):
         AtomData.from_hdf(path)
     import stardis_tpu.atom_data.convert  # noqa: F401  (module exists)
+
+
+# ---------------------------------------------------------------------------
+# download_atom_data (atom_data/download.py): the reference's download flow
+# (conftest.py:61), driven through file:// URLs in this no-egress env.
+
+
+def test_download_atom_data_file_url_and_convert(tmp_path):
+    from stardis_tpu.atom_data import AtomData, download_atom_data
+    from stardis_tpu.atom_data.synthetic_carsus import write_store
+
+    src = tmp_path / "kurucz_like.h5"
+    write_store(carsus_frames(), src)
+    dest = tmp_path / "cache"
+
+    path = download_atom_data(src.as_uri(), dest_dir=dest)
+    assert path.endswith("kurucz_like_native.h5")
+    adata = AtomData.from_hdf(path)
+    np.testing.assert_allclose(
+        adata.ionization_data.loc[(1, 1)], 13.598434 * EV_TO_ERG, rtol=1e-10
+    )
+    assert len(adata.lines) == 1
+
+    # cached: a second call reuses both files (no re-download/re-convert)
+    raw = dest / "kurucz_like.h5"
+    stamps = (raw.stat().st_mtime_ns, (dest / "kurucz_like_native.h5").stat().st_mtime_ns)
+    again = download_atom_data(src.as_uri(), dest_dir=dest)
+    assert again == path
+    assert (raw.stat().st_mtime_ns,
+            (dest / "kurucz_like_native.h5").stat().st_mtime_ns) == stamps
+
+    # convert=False returns the raw carsus copy
+    raw_path = download_atom_data(src.as_uri(), dest_dir=dest, convert=False)
+    assert raw_path == str(raw)
+
+
+def test_download_atom_data_errors(tmp_path):
+    from stardis_tpu.atom_data import download_atom_data
+
+    with pytest.raises(ValueError, match="known names"):
+        download_atom_data("no_such_store", dest_dir=tmp_path)
+
+    missing = (tmp_path / "missing.h5").as_uri()
+    with pytest.raises(RuntimeError, match="download failed"):
+        download_atom_data(missing, dest_dir=tmp_path)
+    # a failed download leaves neither a partial nor a final file
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_download_known_names_resolve_to_reference_source():
+    from stardis_tpu.atom_data.download import KNOWN_ATOM_DATA
+
+    url = KNOWN_ATOM_DATA["kurucz_cd23_chianti_H_He"]
+    assert url.startswith("https://github.com/tardis-sn/tardis-regression-data")
+    assert url.endswith("kurucz_cd23_chianti_H_He.h5")
