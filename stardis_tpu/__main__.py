@@ -145,6 +145,14 @@ def main(argv=None):
     from stardis_tpu import run_stardis
     from stardis_tpu import units as u
 
+    if args.grid and args.segments != 1:
+        # grid scans batch over models; wavelength segmentation is not
+        # plumbed through synthesize_grid — refuse rather than silently
+        # dropping the flag the user relied on for OOM protection
+        raise SystemExit(
+            "--segments is not supported with --grid: shard the scan "
+            "over a mesh or narrow the wavelength grid instead"
+        )
     if args.grid:
         return _run_grid(args, lambdas_aa, overrides)
 

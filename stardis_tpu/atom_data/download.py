@@ -81,6 +81,21 @@ def download_atom_data(
     dest_dir.mkdir(parents=True, exist_ok=True)
     fname = Path(urllib.parse.urlparse(url).path).name or "atom_data.h5"
     raw_path = dest_dir / fname
+    src_marker = raw_path.with_name(raw_path.name + ".source")
+
+    # the cache is keyed by filename; a same-named file from a DIFFERENT
+    # source URL must not be silently reused — the sidecar records where
+    # the cached copy came from and a mismatch forces a re-download
+    if raw_path.exists() and not overwrite:
+        recorded = (
+            src_marker.read_text().strip() if src_marker.exists() else None
+        )
+        if recorded != url:
+            logger.info(
+                "Cached %s came from %s, not %s — re-downloading",
+                raw_path.name, recorded or "<unknown>", url,
+            )
+            overwrite = True
 
     if overwrite or not raw_path.exists():
         part = raw_path.with_suffix(raw_path.suffix + ".part")
@@ -96,6 +111,7 @@ def download_atom_data(
                 f"atom-data download failed from {url}: {exc}"
             ) from exc
         os.replace(part, raw_path)
+        src_marker.write_text(url + "\n")
     else:
         logger.info("Atom data already present: %s", raw_path)
 
@@ -108,6 +124,10 @@ def download_atom_data(
 
         logger.info("Converting %s -> %s", raw_path, native_path)
         tmp = native_path.with_suffix(".h5.part")
-        _convert(raw_path, tmp)
+        try:
+            _convert(raw_path, tmp)
+        except BaseException:
+            tmp.unlink(missing_ok=True)
+            raise
         os.replace(tmp, native_path)
     return str(native_path)

@@ -233,6 +233,13 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
         ``return_radiation_field`` still provides ``F_nu`` and per-angle
         ``I_nus``.
     """
+    # validate before the expensive config/atom-data/plan phase so a typo
+    # fails in milliseconds, not minutes
+    if isinstance(nu_segments, str) and nu_segments != "auto":
+        raise ValueError(
+            f"nu_segments must be an integer or 'auto', got {nu_segments!r}"
+        )
+
     from stardis_tpu.util.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()  # no-op unless STARDIS_COMPILE_CACHE is set
@@ -254,10 +261,6 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
     with timer.stage("plan"):
         plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
     if isinstance(nu_segments, str):
-        if nu_segments != "auto":
-            raise ValueError(
-                f"nu_segments must be an integer or 'auto', got {nu_segments!r}"
-            )
         from stardis_tpu.util.memory import choose_nu_segments
 
         nu_segments = choose_nu_segments(plan)

@@ -39,14 +39,24 @@ def enable_compilation_cache(cache_dir=None, min_compile_secs: float = 1.0):
     cache).  Safe on any backend; entries are keyed by backend + HLO, so
     CPU and TPU runs share a directory without collisions.
     """
+    explicit = cache_dir is not None
     if cache_dir is None:
         cache_dir = os.environ.get(ENV_VAR)
     if not cache_dir:
         return None
     path = Path(cache_dir).expanduser()
-    path.mkdir(parents=True, exist_ok=True)
 
     import jax
+
+    if not explicit:
+        # env-default calls (run_stardis/serving/grid wiring) must not
+        # re-point a cache the user already configured explicitly — the
+        # CLI --compile-cache flag / a library enable_compilation_cache(
+        # dir) call wins over the environment variable
+        current = jax.config.jax_compilation_cache_dir
+        if current and current != str(path):
+            return current
+    path.mkdir(parents=True, exist_ok=True)
 
     jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update(

@@ -40,6 +40,11 @@ WORKSET_BYTES = 2 << 30
 DEFAULT_BYTES_LIMIT = 16 << 30  # v5e HBM per chip
 HEADROOM = 0.85
 
+# More serial segments than this is pathological (each segment is a
+# device execution; real grids at real HBM sizes need single digits) —
+# refusing beats silently scheduling 10^5 executions.
+MAX_SEGMENTS = 256
+
 
 def device_bytes_limit(device=None):
     """HBM capacity of the target device, from memory_stats when the
@@ -64,16 +69,15 @@ def _itemsize():
     return 8 if jax.config.jax_enable_x64 else 4
 
 
-def estimate_segment_bytes(
-    n_nu_seg: int,
+def per_pixel_bytes(
     n_depth: int,
     n_thetas: int,
     n_alpha_sources: int = 8,
     track_individual_intensities: bool = False,
     itemsize: int | None = None,
 ) -> int:
-    """Peak device bytes to synthesize one ``n_nu_seg``-point segment
-    (excluding the fixed, segment-independent line-quantity arrays)."""
+    """Device bytes per wavelength pixel of the synthesis stage (the
+    linear slope of the memory model, excluding fixed working sets)."""
     if itemsize is None:
         itemsize = _itemsize()
     d_pad = -(-n_depth // 8) * 8
@@ -84,7 +88,27 @@ def estimate_segment_bytes(
     )
     if track_individual_intensities:
         per_px += n_thetas * n_depth  # the retained I_nus output
-    return int(per_px) * int(n_nu_seg) * int(itemsize) + WORKSET_BYTES
+    return int(per_px) * int(itemsize)
+
+
+def estimate_segment_bytes(
+    n_nu_seg: int,
+    n_depth: int,
+    n_thetas: int,
+    n_alpha_sources: int = 8,
+    track_individual_intensities: bool = False,
+    itemsize: int | None = None,
+) -> int:
+    """Peak device bytes to synthesize one ``n_nu_seg``-point segment
+    (excluding the fixed, segment-independent line-quantity arrays)."""
+    return (
+        per_pixel_bytes(
+            n_depth, n_thetas, n_alpha_sources,
+            track_individual_intensities, itemsize,
+        )
+        * int(n_nu_seg)
+        + WORKSET_BYTES
+    )
 
 
 def count_alpha_sources(plan) -> int:
@@ -145,17 +169,21 @@ def choose_nu_segments(plan, bytes_limit: int | None = None) -> int:
     track = plan.track_individual_intensities
 
     avail = HEADROOM * bytes_limit - fixed_overhead_bytes(plan, itemsize)
-    per_px = (
-        estimate_segment_bytes(
-            1, n_depth, n_thetas, n_sources, track, itemsize
-        )
-        - WORKSET_BYTES
-    )
+    per_px = per_pixel_bytes(n_depth, n_thetas, n_sources, track, itemsize)
     avail -= WORKSET_BYTES
-    if avail <= per_px:
+    if avail < per_px:
         # even a single-pixel segment exceeds the budget: segmentation
         # cannot help (depth x theta alone is too large) — run unsegmented
         # and let the device report the real failure
         return 1
-    k = max(1, math.ceil(n_nu * per_px / avail))
-    return int(min(k, n_nu))
+    k = int(min(max(1, math.ceil(n_nu * per_px / avail)), n_nu))
+    if k > MAX_SEGMENTS:
+        raise ValueError(
+            f"auto-segmentation wants {k} serial segments "
+            f"({n_nu} points x {per_px} B/px against "
+            f"{avail / 1e9:.2f} GB available) — more than the "
+            f"{MAX_SEGMENTS}-segment sanity bound. The grid does not "
+            "meaningfully fit this device; shard over a mesh or raise "
+            "the budget."
+        )
+    return k

@@ -152,3 +152,22 @@ def test_cli_grid_needs_scan_out(config_path, tmp_path):
             [config_path, "--lambda", "6560:6566:0.1",
              "--grid", str(tmp_path)]
         )
+
+
+def test_cli_grid_rejects_segments(config_path, tmp_path):
+    # --segments is not plumbed through grid scans; refusing beats
+    # silently dropping the user's OOM protection
+    with pytest.raises(SystemExit, match="not supported with --grid"):
+        cli_main(
+            [config_path, "--lambda", "6560:6566:0.1",
+             "--grid", str(tmp_path), "--scan-out", str(tmp_path / "o"),
+             "--segments", "auto"]
+        )
+
+
+def test_cli_bad_segments_value(config_path):
+    with pytest.raises(SystemExit, match="integer or 'auto'"):
+        cli_main(
+            [config_path, "--lambda", "6560:6566:0.1",
+             "--segments", "every"]
+        )

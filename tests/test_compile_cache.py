@@ -44,6 +44,11 @@ def test_explicit_path_beats_env(tmp_path, monkeypatch):
     assert explicit.is_dir()
     assert jax.config.jax_compilation_cache_dir == str(explicit)
 
+    # a later env-default call (the run_stardis/serving wiring) must NOT
+    # re-point the explicitly configured cache back to the env var
+    assert enable_compilation_cache() == str(explicit)
+    assert jax.config.jax_compilation_cache_dir == str(explicit)
+
 
 def test_cache_populated_and_hit(tmp_path, monkeypatch):
     """A jit compile lands an entry in the cache directory, and the same

@@ -331,6 +331,31 @@ def test_download_atom_data_file_url_and_convert(tmp_path):
     assert raw_path == str(raw)
 
 
+def test_download_same_name_different_source_refetches(tmp_path):
+    """The cache is keyed by filename; a same-named file from a different
+    source URL must be re-fetched, not silently aliased."""
+    from stardis_tpu.atom_data import download_atom_data
+
+    src_a = tmp_path / "a" / "store.h5"
+    src_b = tmp_path / "b" / "store.h5"
+    src_a.parent.mkdir()
+    src_b.parent.mkdir()
+    from stardis_tpu.atom_data.synthetic_carsus import write_store
+
+    write_store(carsus_frames(), src_a)
+    frames_b = carsus_frames()
+    frames_b["lines"] = pd.concat([frames_b["lines"]] * 2, ignore_index=True)
+    write_store(frames_b, src_b)
+
+    dest = tmp_path / "cache"
+    path_a = download_atom_data(src_a.as_uri(), dest_dir=dest)
+    from stardis_tpu.atom_data import AtomData
+
+    assert len(AtomData.from_hdf(path_a).lines) == 1
+    path_b = download_atom_data(src_b.as_uri(), dest_dir=dest)
+    assert len(AtomData.from_hdf(path_b).lines) == 2
+
+
 def test_download_atom_data_errors(tmp_path):
     from stardis_tpu.atom_data import download_atom_data
 

@@ -171,13 +171,10 @@ def test_run_stardis_auto_segments(test_config_path, example_tracing_nus,
         example_tracing_nus.to(u.Hz, u.spectral())
     ))[::-1]
     plan = build_simulation_plan(config, adata, model, nus)
-    per_px = (
-        mem.estimate_segment_bytes(
-            1, len(plan.temperatures), len(plan.weights),
-            mem.count_alpha_sources(plan),
-            plan.track_individual_intensities,
-        )
-        - mem.WORKSET_BYTES
+    per_px = mem.per_pixel_bytes(
+        len(plan.temperatures), len(plan.weights),
+        mem.count_alpha_sources(plan),
+        plan.track_individual_intensities,
     )
     variable = len(plan.tracing_nus) * per_px
     fixed = mem.fixed_overhead_bytes(plan) + mem.WORKSET_BYTES

@@ -38,17 +38,11 @@ def _fake_plan(n_nu=1000, n_depth=56, n_thetas=20, n_lines=0, track=False):
 
 
 def _per_px(plan):
-    itemsize = mem._itemsize()
-    return (
-        mem.estimate_segment_bytes(
-            1,
-            len(plan.temperatures),
-            len(plan.weights),
-            mem.count_alpha_sources(plan),
-            plan.track_individual_intensities,
-            itemsize,
-        )
-        - mem.WORKSET_BYTES
+    return mem.per_pixel_bytes(
+        len(plan.temperatures),
+        len(plan.weights),
+        mem.count_alpha_sources(plan),
+        plan.track_individual_intensities,
     )
 
 
@@ -100,6 +94,17 @@ def test_hopeless_budget_returns_1():
     # chooser refuses to spin (returns 1 and lets the device report OOM)
     plan = _fake_plan(n_nu=10_000)
     assert mem.choose_nu_segments(plan, bytes_limit=1 << 20) == 1
+
+
+def test_pathological_segment_count_raises():
+    # a budget barely above the working-set floor would want thousands of
+    # single-pixel serial executions — refuse with an actionable error
+    # instead of silently scheduling them
+    plan = _fake_plan(n_nu=600_000)
+    fixed = mem.fixed_overhead_bytes(plan) + mem.WORKSET_BYTES
+    budget = int((fixed + 3 * _per_px(plan)) / mem.HEADROOM)
+    with pytest.raises(ValueError, match="sanity bound"):
+        mem.choose_nu_segments(plan, bytes_limit=budget)
 
 
 def test_env_var_budget(monkeypatch):
