@@ -341,6 +341,28 @@ DIATOMIC_CONSTANTS_HH = {
     "CH": ("C", "H", 2858.5, 63.0, 14.457, 1, 4, 3.465),      # X 2Pi
     "OH": ("O", "H", 3737.76, 84.88, 18.91, 1, 4, 4.392),     # X 2Pi
     "MgH": ("Mg", "H", 1495.20, 31.89, 5.8257, 1, 2, 1.285),  # X 2S+
+    "C2": ("C", "C", 1854.71, 13.34, 1.8198, 2, 1, 6.21),     # X 1Sg+
+    "O2": ("O", "O", 1580.19, 11.98, 1.44563, 2, 3, 5.1156),  # X 3Sg-
+    "N2": ("N", "N", 2358.57, 14.32, 1.99824, 2, 1, 9.759),   # X 1Sg+
+    "CN": ("C", "N", 2068.59, 13.09, 1.8997, 1, 2, 7.76),     # X 2S+
+    "SiO": ("Si", "O", 1241.54, 5.97, 0.7267, 1, 1, 8.26),    # X 1S+
+    # H2+ = H + H+ equilibrium in the same B&C table convention (the
+    # reference carries H2+ BOTH ways: Stancil 1994 K(T) for the continuum
+    # densities and a B&C molecule_number_density row; so do we).
+    "H2+": ("H", "H+", 2321.7, 66.2, 30.21, 2, 2, 2.6508),    # X 2Sg+
+}
+
+# Low-lying excited electronic states that contribute materially to the
+# molecular partition function below ~10,000 K (Huber & Herzberg 1979):
+# name -> list of (T_e, g_el, omega_e, omega_e x_e, B_e).  C2's a3Pi_u at
+# 716 cm^-1 carries ~6x the ground-state weight at photospheric
+# temperatures; omitting it biases U(C2) several-fold (B&C2016 include
+# excited electronic states in their direct sums).
+DIATOMIC_EXCITED_STATES_HH = {
+    "C2": [(716.24, 6, 1641.35, 11.67, 1.6324)],   # a 3Pi_u
+    "O2": [(7918.1, 2, 1483.5, 12.9, 1.4264),      # a 1Delta_g
+           (13195.1, 1, 1432.77, 14.0, 1.40037)],  # b 1Sigma_g+
+    "CN": [(9245.28, 4, 1812.56, 12.61, 1.7151)],  # A 2Pi_i
 }
 
 #: temperature grid of the generated molecular tables [K]
@@ -387,22 +409,52 @@ def diatomic_partition_function(temps, omega_e, omega_e_xe, b_e, sigma,
     return g_el * u_vib * u_rot
 
 
+def diatomic_partition_function_multistate(temps, name):
+    """Electronic-state sum U = sum_e g-weighted exp(-T_e/kT) U_vibrot(e)
+    over the ground state plus DIATOMIC_EXCITED_STATES_HH[name]; each
+    state's vib-rot ladder is truncated at the energy budget left below
+    the (common) dissociation limit, D0 - T_e."""
+    from stardis_tpu.constants import C_CGS as _C, H_CGS, K_B_CGS
+
+    temps = np.atleast_1d(np.asarray(temps, dtype=float))
+    _i1, _i2, we, wexe, be, sigma, g_el, d0 = DIATOMIC_CONSTANTS_HH[name]
+    u = diatomic_partition_function(temps, we, wexe, be, sigma, g_el, d0)
+    cm_to_ev = H_CGS * _C / EV_TO_ERG
+    kt_cm = K_B_CGS * temps / (H_CGS * _C)
+    for te, g_e, we_e, wexe_e, be_e in DIATOMIC_EXCITED_STATES_HH.get(
+        name, []
+    ):
+        d0_rem = d0 - te * cm_to_ev
+        if d0_rem <= 0:
+            continue
+        u = u + np.exp(-te / kt_cm) * diatomic_partition_function(
+            temps, we_e, wexe_e, be_e, sigma, g_e, d0_rem
+        )
+    return u
+
+
 def _atomic_u(symbol, temps):
-    """Atomic partition function from the builtin NIST tables (ground
-    hydrogen ladder for H)."""
+    """Atomic/ionic partition function from the builtin NIST tables
+    (ground hydrogen ladder for H; 'H+'-style trailing charge marks an
+    ion — a bare proton has U = 1)."""
     from stardis_tpu.constants import K_B_CGS
     from stardis_tpu.atom_data.nist_levels import NIST_METAL_LEVELS_EV
     from stardis_tpu.util.species import SYMBOL_TO_Z
 
     temps = np.atleast_1d(np.asarray(temps, dtype=float))
+    charge = len(symbol) - len(symbol.rstrip("+"))
+    symbol = symbol.rstrip("+")
     z = SYMBOL_TO_Z[symbol]
-    if z == 1:
+    if z == 1 and charge == 1:
+        levels = [(0.0, 1)]  # bare proton
+    elif z == 1:
         levels = [(0.0, 2)]  # excited H negligible below ~12,000 K
-    elif z == 2:
+    elif z == 2 and charge == 0:
         levels = HE_I_LEVELS_EV
     else:
         levels = NIST_METAL_LEVELS_EV.get(
-            (z, 0), [(0.0, GROUND_G.get(z, [1])[0])]
+            (z, charge), [(0.0, GROUND_G.get(z, [1])[charge]
+                           if charge < len(GROUND_G.get(z, [1])) else 1)]
         )
     e = np.array([lv[0] for lv in levels]) * EV_TO_ERG
     g = np.array([lv[1] for lv in levels], dtype=float)
@@ -434,10 +486,9 @@ def build_molecule_data_hh(names=None, temps=None):
         ion1, ion2, we, wexe, be, sigma, g_el, d0 = DIATOMIC_CONSTANTS_HH[
             name
         ]
-        u_ab = diatomic_partition_function(temps, we, wexe, be, sigma,
-                                           g_el, d0)
-        m1 = ATOMIC_WEIGHTS_AMU[SYMBOL_TO_Z[ion1]]
-        m2 = ATOMIC_WEIGHTS_AMU[SYMBOL_TO_Z[ion2]]
+        u_ab = diatomic_partition_function_multistate(temps, name)
+        m1 = ATOMIC_WEIGHTS_AMU[SYMBOL_TO_Z[ion1.rstrip("+")]]
+        m2 = ATOMIC_WEIGHTS_AMU[SYMBOL_TO_Z[ion2.rstrip("+")]]
         mu = m1 * m2 / (m1 + m2) * AMU_CGS
         lam = (2 * np.pi * mu * K_B_CGS * temps / H_CGS**2) ** 1.5
         u_a = _atomic_u(ion1, temps)

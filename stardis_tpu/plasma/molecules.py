@@ -154,6 +154,21 @@ def molecule_number_density(mt: MoleculeTables, state, dtype=None):
       -> n_AA = (1/8)(k + 4 N - sqrt(k (k + 8 N)))
     Heteronuclear AB: n_A n_B = k n_AB with conservation
       -> n_AB = 0.5 (k + N_A + N_B - sqrt(k^2 + 2k(N_A+N_B) + (N_A-N_B)^2))
+
+    Both quadratic roots are evaluated in the conjugate form
+    (n_AA = 2 N^2 / (k + 4N + sqrt(k(k+8N))),
+     n_AB = 2 N_A N_B / (k + N_A + N_B + sqrt(...)))
+    because the textbook difference form cancels catastrophically once
+    n_mol/N < machine-eps^(1/2): k >> N makes (k+4N) - sqrt(k(k+8N))
+    ~ 8N^2/k, a relative-(N/k)^2 residue that rounds to ZERO for mostly
+    dissociated molecules (O2 at 10^4 K dies even in f64; in the f32
+    device pipeline anything below n_mol/N ~ 1e-4 dies).  The conjugate
+    form is algebraically identical and stable at all k.
+
+    The discriminants are additionally evaluated scale-factored by
+    s = k + (constituent sum): k*(k+8N) and k^2 overflow f32 (k reaches
+    ~1e22 at 10^4 K; f32 max is 3.4e38), while every factored term is
+    O(max(k, N)).
     """
     n1 = state.ion_number_density[jnp.asarray(mt.ion1_slot)]  # [M, D]
     n2 = state.ion_number_density[jnp.asarray(mt.ion2_slot)]
@@ -161,9 +176,15 @@ def molecule_number_density(mt: MoleculeTables, state, dtype=None):
     homo = jnp.asarray(mt.homonuclear)[:, None]
     included = jnp.asarray(mt.included)[:, None]
 
-    n_homo = 0.125 * (-jnp.sqrt(k * (k + 8.0 * n1)) + k + 4.0 * n1)
-    disc = k**2 + 2.0 * k * (n1 + n2) + (n1 - n2) ** 2
-    n_hetero = 0.5 * (-jnp.sqrt(disc) + k + n1 + n2)
+    s_aa = k + 4.0 * n1
+    root_aa = jnp.sqrt((k / s_aa) * ((k + 8.0 * n1) / s_aa))
+    n_homo = 2.0 * (n1 / s_aa) * n1 / (root_aa + 1.0)
+
+    s_ab = k + n1 + n2
+    disc = (k / s_ab) ** 2 + 2.0 * (k / s_ab) * ((n1 + n2) / s_ab) + (
+        (n1 - n2) / s_ab
+    ) ** 2
+    n_hetero = 2.0 * (n1 / s_ab) * n2 / (jnp.sqrt(disc) + 1.0)
 
     n_mol = jnp.where(homo, n_homo, n_hetero)
     n_mol = jnp.maximum(n_mol, 0.0)

@@ -1,0 +1,137 @@
+"""Absolute molecular-chemistry parity against Korg (independent code).
+
+The reference ships Korg.jl-computed number densities for C2, H2, O2 and
+H2+ on a 56-point T = linspace(3000, 10000) K, rho = 3e-7 g/cm^3,
+Asplund-2020 solar-composition model
+(reference docs/creating_simple_models/flexible_plasma.ipynb +
+korg_comparison_number_densities.csv, copied verbatim to
+tests/data/korg_number_densities.csv — Korg OUTPUT data used as an
+oracle, not reference code).  Korg is a completely independent Julia
+implementation, so agreement here is an absolute external anchor for the
+Saha chain, the atomic partition functions, and the molecular
+equilibrium tables — the closest in-environment substitute for the
+"absolute spectrum parity" run that needs the real kurucz store.
+
+Bounds are the measured agreement (2026-08, builtin Huber & Herzberg
+tables) with ~30% headroom; they document real physics differences:
+
+* H2 within 27%: our ground-state vib-rot direct sum vs Korg's B&C2016
+  U(H2) and D0 conventions.
+* H2+ within 15% above 4000 K: both sides solve H + H+ <-> H2+; our
+  K(T) comes from the Huber & Herzberg X 2Sg+ constants.
+* O2 / C2 only order-of-magnitude above ~4500 K and far off below:
+  Korg solves the COUPLED molecular network (CO locks up nearly all
+  free C below ~4000 K, suppressing C2 by orders of magnitude), while
+  STARDIS-style chemistry — reference plasma/molecules.py:106-127 and
+  this port alike — solves each molecule independently against the
+  atomic reservoirs.  The reference's own notebook comparison shows the
+  same 1e4-level fractional differences for C2/O2 at low T.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from stardis_tpu.atom_data import build_builtin_atom_data
+from stardis_tpu.io.abundances import create_scaled_solar_profile
+from stardis_tpu.plasma import build_plasma_tables, device_tables, solve_lte
+from stardis_tpu.plasma.molecules import (
+    build_molecule_tables,
+    molecule_number_density,
+)
+
+KORG_CSV = Path(__file__).parent / "data" / "korg_number_densities.csv"
+
+
+@pytest.fixture(scope="module")
+def korg_setup():
+    """The notebook's model: T linspace(3000,10000) over 56 depth points,
+    uniform rho = 3e-7 g/cm^3, Asplund 2020 scaled-solar composition."""
+    ad = build_builtin_atom_data(max_atomic_number=30, include_molecules=True)
+    mf = create_scaled_solar_profile(
+        ad, final_atomic_number=30, composition_source="asplund_2020"
+    )
+    temps = np.linspace(3000.0, 10000.0, 56)
+    masses = ad.atom_data.mass
+    n_elem = pd.DataFrame(
+        (3e-7 * mf.values / masses.loc[mf.index].values[:, None])
+        * np.ones((1, temps.size)),
+        index=mf.index,
+    )
+    tables = build_plasma_tables(ad, n_elem.index.values)
+    dt = device_tables(tables)
+    state = solve_lte(
+        jnp.asarray(temps), jnp.asarray(n_elem.loc[tables.zs].values), dt
+    )
+    mt = build_molecule_tables(ad, tables, temps)
+    n_mol = np.asarray(molecule_number_density(mt, state))
+    korg = pd.read_csv(KORG_CSV)
+    np.testing.assert_allclose(korg["T"].values, temps, rtol=1e-4)
+    return temps, mt, n_mol, state, korg
+
+
+def _frac(ours, korg_col):
+    return np.abs(ours - korg_col) / korg_col
+
+
+def test_h2_absolute_parity_with_korg(korg_setup):
+    temps, mt, n_mol, _state, korg = korg_setup
+    ours = n_mol[mt.names.index("H2")]
+    # 16 orders of magnitude of absolute H2 density within 27% of an
+    # independent code, across the full 3000-10000 K range.
+    assert _frac(ours, korg["H2"].values).max() < 0.35
+
+
+def test_h2_plus_absolute_parity_with_korg(korg_setup):
+    temps, mt, n_mol, state, korg = korg_setup
+    ours = n_mol[mt.names.index("H2+")]
+    hot = temps >= 4000.0
+    assert _frac(ours, korg["HHplus"].values)[hot].max() < 0.20
+    # The Stancil-1994 continuum-path H2+ density (reference parity,
+    # plasma/base.py:105-127) must also land within a factor ~2 of Korg
+    # where H2+ matters (its 8-point K table is coarser).
+    stancil = np.asarray(state.h2_plus_density)
+    assert _frac(stancil, korg["HHplus"].values)[hot].max() < 1.0
+
+
+def test_o2_c2_order_of_magnitude_above_lockup(korg_setup):
+    temps, mt, n_mol, _state, korg = korg_setup
+    hot = temps >= 4500.0
+    o2 = _frac(n_mol[mt.names.index("O2")], korg["O2"].values)[hot]
+    c2 = _frac(n_mol[mt.names.index("C2")], korg["C2"].values)[hot]
+    assert o2.max() < 4.0  # measured 2.3
+    assert c2.max() < 15.0  # measured 9.9
+    # and the independent-equilibrium excess at low T must be PRESENT
+    # (if C2 suddenly matched Korg at 3000 K we would be solving a
+    # coupled network the reference does not have — flag it).
+    cold = temps <= 3200.0
+    assert (
+        n_mol[mt.names.index("C2")][cold] > 50 * korg["C2"].values[cold]
+    ).all()
+
+
+def test_quadratic_solver_conjugate_form_no_underflow(korg_setup):
+    """k >> N must give n_AA -> N^2/k instead of rounding to zero (the
+    difference form lost O2 entirely at 10^4 K even in f64)."""
+    temps, mt, n_mol, _state, korg = korg_setup
+    o2 = n_mol[mt.names.index("O2")]
+    assert (o2 > 0).all()
+    assert _frac(o2[-1], korg["O2"].values[-1]) < 0.10  # measured 6.4%
+
+
+def test_molecule_density_f32_matches_f64(korg_setup):
+    """f32 device path: the scale-factored discriminant must keep every
+    intermediate below f32 max (k reaches ~1e22, k^2 would overflow) —
+    f32-vs-f64 consistency at f32 roundoff, per the project rule."""
+    temps, mt, n_mol, state, _korg = korg_setup
+    state32 = jax.tree.map(lambda a: a.astype(jnp.float32), state)
+    n32 = np.asarray(molecule_number_density(mt, state32, dtype=jnp.float32))
+    sel = n_mol > 0
+    rel = np.abs(n32[sel] / n_mol[sel] - 1.0)
+    assert np.isfinite(n32).all()
+    assert rel.max() < 2e-5, rel.max()

@@ -92,14 +92,32 @@ def test_mgh_forms_in_cool_atmospheres():
     assert k6000 - k3000 > 1.0  # >10x more dissociated at 6000 K
 
 
-def test_all_five_molecules_have_consistent_tables():
+def test_all_builtin_molecules_have_consistent_tables():
     md = build_molecule_data_hh()
     assert sorted(md.equilibrium_constants.index) == sorted(
-        ["CH", "CO", "H2", "MgH", "OH"]
+        ["CH", "CO", "H2", "MgH", "OH", "C2", "O2", "N2", "CN", "SiO",
+         "H2+"]
     )
     assert (md.partition_functions.values > 0).all()
     assert np.isfinite(md.equilibrium_constants.values).all()
     for name in md.dissociation_energies.index:
         row = md.dissociation_energies.loc[name]
-        assert row.Ion1 in ("H", "C", "O", "Mg")
+        assert row.Ion1 in ("H", "C", "O", "N", "Mg", "Si")
         assert 1.0 < row.dissociation_energy < 12.0
+
+
+def test_c2_low_lying_triplet_dominates_partition_function():
+    """C2's a3Pi_u state at 716 cm^-1 (g=6) carries several times the
+    X 1Sg+ weight at photospheric temperatures; the multistate U must be
+    well above the ground-state-only sum (B&C2016 include it too)."""
+    from stardis_tpu.atom_data.builtin import (
+        diatomic_partition_function_multistate,
+    )
+
+    t = np.array([4000.0, 6000.0])
+    u_ground = diatomic_partition_function(
+        t, *DIATOMIC_CONSTANTS_HH["C2"][2:]
+    )
+    u_full = diatomic_partition_function_multistate(t, "C2")
+    assert (u_full > 3.0 * u_ground).all()
+    assert (u_full < 12.0 * u_ground).all()
