@@ -191,6 +191,19 @@ def molecule_number_density(mt: MoleculeTables, state, dtype=None):
     return jnp.where(included, n_mol, 0.0)
 
 
+def molecule_number_density_frame(mt: MoleculeTables, state):
+    """Reference-shaped convenience: the notebook surface
+    ``stellar_plasma.molecule_number_density`` is a DataFrame indexed by
+    molecule name over depth points (reference molecules.py:138-141 /
+    docs/creating_simple_models/flexible_plasma.ipynb)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        np.asarray(molecule_number_density(mt, state)),
+        index=pd.Index(mt.names, name="molecule"),
+    )
+
+
 @dataclasses.dataclass
 class MoleculeLineData:
     """Host-prepared molecular lines in the tracing window (VALD-style)."""
