@@ -70,17 +70,17 @@ for name in n_mol.index:
 # --- compare with Korg ------------------------------------------------------
 korg_csv = Path(__file__).parent.parent / "tests/data/korg_number_densities.csv"
 korg = pd.read_csv(korg_csv)
-print("\nvs Korg.jl (independent code):")
+n_coup = molecule_number_density_frame(mol_tables, state, coupled=True)
+print("\nvs Korg.jl (independent code) — max |rel diff| over all 56 temps:")
+print(f"  {'':4s} {'independent (ref parity)':>26s} {'coupled network':>17s}")
 for ours, col in [("H2", "H2"), ("H2+", "HHplus"), ("O2", "O2"), ("C2", "C2")]:
-    frac = np.abs(n_mol.loc[ours].values / korg[col].values - 1.0)
-    hot = temperatures >= 4500.0
-    print(
-        f"  {ours:4s} max |rel diff|: {frac.max():9.3g} (all T), "
-        f"{frac[hot].max():7.3g} (T >= 4500 K)"
-    )
+    fp = np.abs(n_mol.loc[ours].values / korg[col].values - 1.0).max()
+    fc = np.abs(n_coup.loc[ours].values / korg[col].values - 1.0).max()
+    print(f"  {ours:4s} {fp:26.3g} {fc:17.3g}")
 print(
-    "\nC2/O2 diverge at low T because Korg solves the coupled molecular\n"
-    "network (CO locks up free carbon) while STARDIS-style chemistry — the\n"
-    "reference and this framework alike — treats each molecule\n"
-    "independently; see tests/test_korg_parity.py."
+    "\nC2/O2 diverge at low T under the reference-parity independent\n"
+    "quadratics because CO locks up free carbon there; the opt-in coupled\n"
+    "solver (opacity.line.molecules_coupled) depletes shared reservoirs\n"
+    "consistently and lands within a factor ~2-5 of Korg everywhere; see\n"
+    "tests/test_korg_parity.py."
 )

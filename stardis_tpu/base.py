@@ -244,6 +244,14 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
 
     enable_compilation_cache()  # no-op unless STARDIS_COMPILE_CACHE is set
 
+    if not hasattr(tracing_lambdas_or_nus, "to"):
+        raise TypeError(
+            "tracing_lambdas_or_nus must carry units, e.g. "
+            "u.Quantity(lambdas, u.AA) or u.Quantity(nus, u.Hz) with "
+            "`from stardis_tpu import units as u` — got "
+            f"{type(tracing_lambdas_or_nus).__name__} (bare arrays are "
+            "ambiguous between Angstroms and Hz)"
+        )
     tracing_nus = tracing_lambdas_or_nus.to(u.Hz, u.spectral())
     tracing_nus_hz = np.atleast_1d(np.asarray(tracing_nus))
 

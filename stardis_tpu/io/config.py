@@ -46,6 +46,11 @@ LINE_SCHEMA = {
             },
         },
         "include_molecules": {"type": "boolean", "default": False},
+        # extension over the reference: solve the molecular network
+        # COUPLED (shared constituent reservoirs deplete consistently;
+        # fixes orders-of-magnitude C2/CH/CN inflation below ~4000 K)
+        # instead of the reference's independent per-molecule quadratics
+        "molecules_coupled": {"type": "boolean", "default": False},
         "window_mode": {
             "enum": ["reference", "accuracy"],
             "default": "reference",

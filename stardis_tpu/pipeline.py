@@ -95,6 +95,7 @@ class SimulationPlan:
     window_block: int = 8  # depth-block size for tiering; 0 = per-line tiers
     molecule_tables: object | None = None  # plasma.molecules.MoleculeTables
     molecule_line_data: object | None = None  # plasma.molecules.MoleculeLineData
+    molecules_coupled: bool = False  # opt-in coupled-network densities
 
 
 def build_simulation_plan(
@@ -241,6 +242,7 @@ def build_simulation_plan(
         window_mode=str(line_cfg.get("window_mode", "reference")),
         window_epsilon=float(line_cfg.get("window_epsilon", 1e-4)),
         window_block=int(line_cfg.get("window_block", 8)),
+        molecules_coupled=bool(line_cfg.get("molecules_coupled", False)),
         molecule_tables=molecule_tables,
         molecule_line_data=molecule_line_data,
     )
@@ -284,6 +286,7 @@ def stage_plasma_and_lines(plan: SimulationPlan, temps, n_elem):
             plan.microturbulence_cgs,
             plan.broadening_flags,
             dtype=temps.dtype,
+            coupled=plan.molecules_coupled,
         )
     return state, (quants or None)
 

@@ -109,3 +109,15 @@ def test_edge_configuration(tmp_path, tag, teff, n_px, step, zmax, ndev,
 
 def test_continuum_only_single_pixel(tmp_path):
     _run(tmp_path, "cont_1px", 5777.0, 1, 0.05, 5, 0, 3, lines_on=False)
+
+
+def test_bare_array_tracing_input_rejected_with_guidance():
+    """run_stardis must reject unitless tracing grids with an actionable
+    message (bare arrays are ambiguous between AA and Hz)."""
+    import numpy as np
+    import pytest
+
+    from stardis_tpu.base import run_stardis
+
+    with pytest.raises(TypeError, match="u.Quantity"):
+        run_stardis("/nonexistent.yml", np.arange(6560.0, 6570.0, 0.1))

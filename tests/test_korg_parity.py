@@ -43,6 +43,7 @@ from stardis_tpu.plasma import build_plasma_tables, device_tables, solve_lte
 from stardis_tpu.plasma.molecules import (
     build_molecule_tables,
     molecule_number_density,
+    molecule_number_density_coupled,
 )
 
 KORG_CSV = Path(__file__).parent / "data" / "korg_number_densities.csv"
@@ -122,6 +123,79 @@ def test_quadratic_solver_conjugate_form_no_underflow(korg_setup):
     o2 = n_mol[mt.names.index("O2")]
     assert (o2 > 0).all()
     assert _frac(o2[-1], korg["O2"].values[-1]) < 0.10  # measured 6.4%
+
+
+def test_coupled_network_matches_korg_at_low_t(korg_setup):
+    """The opt-in coupled solver (molecules_coupled) must close the
+    CO-lockup gap: C2 goes from ~1e11x off Korg at 3000 K (independent
+    quadratics) to within a factor ~10 everywhere, O2 within ~6x, H2+
+    within ~3x, H2 unchanged at 27%."""
+    temps, mt, n_pair, state, korg = korg_setup[0], korg_setup[1], korg_setup[2], korg_setup[3], korg_setup[4]
+    n_coup = np.asarray(molecule_number_density_coupled(mt, state))
+    for name, col, bound in [
+        ("H2", "H2", 0.35),    # measured 0.264
+        ("C2", "C2", 1.0),     # measured 0.899 (vs 1.6e11 uncoupled)
+        ("O2", "O2", 6.0),     # measured 4.8 (vs 266 uncoupled)
+        ("H2+", "HHplus", 2.0),  # measured 1.59
+    ]:
+        frac = _frac(n_coup[mt.names.index(name)], korg[col].values)
+        assert frac.max() < bound, (name, frac.max())
+
+
+def test_coupled_network_conserves_reservoirs(korg_setup):
+    """No constituent slot may be over-consumed (the independent
+    quadratics over-consume carbon by ~98% at 3000 K); and a molecule
+    whose constituents appear in no other molecule must reproduce the
+    pairwise quadratic exactly."""
+    import dataclasses
+
+    temps, mt, n_pair, state, _korg = korg_setup
+    n_coup = np.asarray(molecule_number_density_coupled(mt, state))
+    res = np.asarray(state.ion_number_density)
+    cons = np.zeros_like(res)
+    for m in range(len(mt.names)):
+        nu1 = 2 if mt.homonuclear[m] else 1
+        cons[mt.ion1_slot[m]] += nu1 * n_coup[m]
+        if not mt.homonuclear[m]:
+            cons[mt.ion2_slot[m]] += n_coup[m]
+    assert (cons <= res * (1 + 1e-9) + 1e-300).all()
+
+    mt_co = dataclasses.replace(
+        mt, included=np.array([n == "CO" for n in mt.names])
+    )
+    i = mt.names.index("CO")
+    p = np.asarray(molecule_number_density(mt_co, state))[i]
+    c = np.asarray(molecule_number_density_coupled(mt_co, state))[i]
+    np.testing.assert_allclose(c[p > 0], p[p > 0], rtol=1e-6)
+
+
+def test_coupled_network_differentiable_and_f32_safe(korg_setup):
+    """jax.grad must flow through the fixed-point loop (division-free
+    ratio form — the naive c/n_free map produced NaN cotangents where a
+    reservoir is zero), and f32 must track f64 at roundoff."""
+    temps, mt, n_mol, state, _korg = korg_setup
+
+    def log_c2(t_scale):
+        scaled = state._replace(
+            ion_number_density=state.ion_number_density * t_scale
+        )
+        return jnp.log(
+            molecule_number_density_coupled(mt, scaled)[
+                mt.names.index("C2"), 0
+            ]
+        )
+
+    g = jax.grad(log_c2)(1.0)
+    assert np.isfinite(float(g))
+
+    state32 = jax.tree.map(lambda a: a.astype(jnp.float32), state)
+    n64 = np.asarray(molecule_number_density_coupled(mt, state))
+    n32 = np.asarray(
+        molecule_number_density_coupled(mt, state32, dtype=jnp.float32)
+    )
+    sel = n64 > 0
+    assert np.isfinite(n32).all()
+    assert np.abs(n32[sel] / n64[sel] - 1.0).max() < 2e-5
 
 
 def test_molecule_density_f32_matches_f64(korg_setup):

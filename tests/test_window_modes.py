@@ -263,3 +263,43 @@ def test_window_keys_roundtrip_yaml_to_plan(tmp_path):
     assert plan2.window_mode == "reference"
     assert plan2.window_epsilon == 1e-4
     assert plan2.window_block == 8
+
+
+def test_molecules_coupled_key_roundtrip_yaml_to_plan(tmp_path):
+    """The opt-in molecules_coupled key must validate from YAML and reach
+    SimulationPlan (default False = reference-parity independent
+    quadratics)."""
+    mp = tmp_path / "sun.mod"
+    write_marcs_file(mp)
+    cfg = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": str(mp), "final_atomic_number": 5,
+        },
+        "opacity": {
+            "line": {
+                "disable": False,
+                "broadening": ["radiation"],
+                "include_molecules": True,
+                "molecules_coupled": True,
+            },
+        },
+        "no_of_thetas": 2,
+        "result_options": {},
+    }
+    cp = tmp_path / "c_mol.yml"
+    cp.write_text(yaml.safe_dump(cfg))
+    config, adata, model = parse_config_to_model(cp)
+    nus = np.asarray(
+        u.Quantity(np.arange(6560.0, 6570.0, 0.1), u.AA).to(u.Hz, u.spectral())
+    )
+    plan = build_simulation_plan(config, adata, model, nus)
+    assert plan.molecules_coupled is True
+
+    cfg["opacity"]["line"].pop("molecules_coupled")
+    cp2 = tmp_path / "c_mol2.yml"
+    cp2.write_text(yaml.safe_dump(cfg))
+    config2, adata2, model2 = parse_config_to_model(cp2)
+    plan2 = build_simulation_plan(config2, adata2, model2, nus)
+    assert plan2.molecules_coupled is False
