@@ -179,6 +179,41 @@ class RadiationField:
         self.I_nus = i_nus
 
 
+class StellarPlasma:
+    """Read-only view over the solved PlasmaState with the reference's
+    notebook conveniences (the reference exposes a TARDIS BasePlasma as
+    ``sim.stellar_plasma``; docs/creating_simple_models/flexible_plasma
+    reads ``.molecule_number_density`` off it).  All PlasmaState fields
+    (ion_number_density, level_number_density, electron_densities, ...)
+    pass through unchanged, including ``_asdict`` for the HDF writer."""
+
+    def __init__(self, state, plan):
+        self._state = state
+        self._plan = plan
+
+    def __getattr__(self, name):
+        if name in ("_state", "_plan"):
+            raise AttributeError(name)
+        return getattr(self._state, name)
+
+    @property
+    def molecule_number_density(self):
+        """DataFrame [molecule, depth] of molecular number densities
+        (reference molecules.py:138-141); honors molecules_coupled."""
+        if self._plan.molecule_tables is None:
+            raise ValueError(
+                "no molecular tables in this run — set "
+                "opacity.line.include_molecules: true"
+            )
+        from stardis_tpu.plasma.molecules import molecule_number_density_frame
+
+        return molecule_number_density_frame(
+            self._plan.molecule_tables,
+            self._state,
+            coupled=self._plan.molecules_coupled,
+        )
+
+
 class STARDISOutput:
     """Key outputs of a simulation (reference base.py:84-141).
 
@@ -318,5 +353,8 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
     )
 
     return STARDISOutput(
-        config.result_options, stellar_model, state, radiation_field
+        config.result_options,
+        stellar_model,
+        StellarPlasma(state, plan),
+        radiation_field,
     )

@@ -200,3 +200,26 @@ def test_run_stardis_auto_segments(test_config_path, example_tracing_nus,
     with pytest.raises(ValueError, match="auto"):
         run_stardis(test_config_path, example_tracing_nus,
                     add_config_dict=opts, nu_segments="every")
+
+
+def test_stellar_plasma_molecule_surface(test_config_path,
+                                         example_tracing_nus):
+    """The notebook surface sim.stellar_plasma.molecule_number_density
+    (reference flexible_plasma.ipynb) must return a molecule-indexed
+    DataFrame when molecules are enabled, raise with guidance when not,
+    and keep forwarding raw PlasmaState fields either way."""
+    out = run_stardis(
+        test_config_path,
+        example_tracing_nus,
+        add_config_dict={"opacity.line.include_molecules": True},
+    )
+    frame = out.stellar_plasma.molecule_number_density
+    assert "H2" in frame.index and "CO" in frame.index
+    assert np.isfinite(frame.values).all() and (frame.values >= 0).all()
+    # PlasmaState passthrough (incl. the HDF writer's _asdict)
+    assert np.asarray(out.stellar_plasma.electron_densities).ndim == 1
+    assert "electron_densities" in out.stellar_plasma._asdict()
+
+    out2 = run_stardis(test_config_path, example_tracing_nus)
+    with pytest.raises(ValueError, match="include_molecules"):
+        out2.stellar_plasma.molecule_number_density
