@@ -16,11 +16,13 @@ programs as the single-chip hot path, via host-side per-shard panel
 schedules), ``postprocessing`` (differentiable JAX rotational +
 instrumental broadening), ``atom_data.convert`` (carsus-store
 converter CLI; reads fixed- AND table-format pandas stores without
-pytables).
+pytables), ``plasma.molecules`` (11-diatomic Huber & Herzberg
+equilibrium pinned absolutely against Korg.jl, with an opt-in
+coupled-network solver — ``opacity.line.molecules_coupled``).
 """
 
 from stardis_tpu.base import STARDISOutput, parse_config_to_model, run_stardis
 
-__version__ = "0.4.0"
+__version__ = "0.4.1"
 
 __all__ = ["run_stardis", "STARDISOutput", "parse_config_to_model"]
