@@ -212,3 +212,63 @@ def test_molecular_vdw_divergence_quantified(mol_setup):
     rel_width = extra / np.asarray(d_scaled)
     assert rel_width.max() > 1e-4  # vdW is a measurable fraction of Doppler
     assert np.isfinite(rel_width).all()
+
+
+def test_molecules_coupled_end_to_end_cool_star(tmp_path):
+    """Full pipeline on a cool (Teff 4000) atmosphere with a molecular
+    VALD line, pairwise vs coupled: both finite/positive, and the
+    coupled network must change the molecular line (shared-reservoir
+    depletion weakens MgH where H2/CO compete for constituents)."""
+    import yaml
+
+    from stardis_tpu.base import parse_config_to_model
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.pipeline import build_simulation_plan, run_simulation
+    from stardis_tpu import units as u
+
+    mp = tmp_path / "cool.mod"
+    write_marcs_file(mp, teff=4000.0)
+    base_cfg = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:30",
+        "input_model": {
+            "type": "marcs", "fname": str(mp), "final_atomic_number": 30,
+        },
+        "opacity": {
+            "line": {
+                "disable": False,
+                "broadening": ["radiation"],
+                "include_molecules": True,
+                "vald_linelist": {"use_linelist": True},
+            },
+        },
+        "no_of_thetas": 2,
+        "result_options": {},
+    }
+    nus = np.atleast_1d(np.asarray(
+        u.Quantity(np.arange(5160.0, 5170.0, 0.05), u.AA).to(
+            u.Hz, u.spectral()
+        )
+    ))
+    mgh = pd.DataFrame({
+        "molecule": ["MgH"], "wavelength": [5165.0], "log_gf": [0.5],
+        "e_low": [0.0], "e_up": [2.4], "j_lo": [5], "j_up": [6],
+        "rad": [7.5], "stark": [0.0], "waals": [0.0],
+    })
+    spectra = {}
+    for coupled in (False, True):
+        cfg = dict(base_cfg)
+        cfg["opacity"] = yaml.safe_load(yaml.safe_dump(base_cfg["opacity"]))
+        cfg["opacity"]["line"]["molecules_coupled"] = coupled
+        cp = tmp_path / f"c_{coupled}.yml"
+        cp.write_text(yaml.safe_dump(cfg))
+        config, adata, model = parse_config_to_model(cp)
+        adata.linelist_molecules = mgh.copy()
+        plan = build_simulation_plan(config, adata, model, nus)
+        assert plan.molecules_coupled is coupled
+        f_nu, _tot, _od, _i, _state, _w = run_simulation(plan)
+        f = np.asarray(f_nu)[-1]
+        assert np.isfinite(f).all() and (f > 0).all()
+        spectra[coupled] = f
+    rel = np.abs(spectra[True] / spectra[False] - 1.0)
+    assert rel.max() > 1e-6, "coupled network must alter the MgH line"
