@@ -193,7 +193,7 @@ def molecule_number_density(mt: MoleculeTables, state, dtype=None):
 
 
 def molecule_number_density_coupled(
-    mt: MoleculeTables, state, n_iter: int = 200, damping: float = 0.5,
+    mt: MoleculeTables, state, n_iter: int = 400, damping: float = 0.5,
     dtype=None,
 ):
     """[M, D] molecular densities from the COUPLED network (extension).
@@ -213,10 +213,18 @@ def molecule_number_density_coupled(
         N_s = n_s + sum_m nu_{s,m} n_m,   n_m = n_A n_B / k_m
         (homonuclear: n_m = n_A^2 / k_m, nu = 2)
 
-    via the damped fixed point x_s <- 1/(1 + sum_m nu_{s,m} n_m / n_s),
-    a jit/grad-friendly ``lax.fori_loop`` with a static trip count (the
-    map is monotone-bounded; 200 damped iterations converge to f64
-    roundoff for the stiffest case, >60%-molecular hydrogen at 3000 K).
+    via a damped exact-per-slot Jacobi sweep: holding the other slots
+    fixed, slot s's own conservation is the quadratic
+    N_s = n_s + 2 alpha_s n_s^2 + beta_s n_s with
+    alpha_s = sum_{homo m} 1/k_m and beta_s = sum_{hetero m} n_other/k_m,
+    whose stable root is x_s = 2 / (1 + beta_s + sqrt((1+beta_s)^2 +
+    8 alpha_s N_s)) — exact in one step for a single homonuclear
+    molecule (H2-dominated M-dwarf conditions), so the outer loop only
+    has to relax the CROSS-molecule coupling.  A jit/grad-friendly
+    ``lax.fori_loop`` with a static trip count; 400 damped iterations
+    converge to ~1e-11 even in the stiffest case found (2500 K, rho
+    1e-5: 98%-molecular hydrogen with CO consuming nearly all C and O —
+    the cross-reservoir C<->O relaxation is the slow mode).
     Ionization stays fixed at the LTE solution (molecular electron
     donation is negligible for these species), so each (z, charge)
     reservoir depletes independently — the same level of approximation
@@ -243,19 +251,18 @@ def molecule_number_density_coupled(
         return jnp.where(included, n_m, 0.0), n1, n2
 
     def body(_, x):
-        # r_s = sum_m nu_{s,m} n_m / n_s has a division-free closed form
-        # per molecule (n_m/n_A = n_B/k; homonuclear 2 n_m/n_A = 2 n_A/k),
+        # alpha/beta are division-free in the state (only 1/k and n/k),
         # keeping the map smooth for jax.grad even where a reservoir is 0.
-        _n_m, n1, n2 = _n_mol(x)
+        n1 = x[i1] * n_res[i1]
+        n2 = x[i2] * n_res[i2]
         zero = jnp.zeros_like(n1)
-        r = jnp.zeros_like(n_res)
-        r = r.at[i1].add(
-            jnp.where(included, jnp.where(homo, 2.0 * n1 / k, n2 / k), zero)
-        )
-        r = r.at[i2].add(
-            jnp.where(included & ~homo, n1 / k, zero)
-        )
-        x_new = 1.0 / (1.0 + r)
+        alpha = jnp.zeros_like(n_res)
+        alpha = alpha.at[i1].add(jnp.where(included & homo, 1.0 / k, zero))
+        beta = jnp.zeros_like(n_res)
+        beta = beta.at[i1].add(jnp.where(included & ~homo, n2 / k, zero))
+        beta = beta.at[i2].add(jnp.where(included & ~homo, n1 / k, zero))
+        b1 = 1.0 + beta
+        x_new = 2.0 / (b1 + jnp.sqrt(b1 * b1 + 8.0 * alpha * n_res))
         return (1.0 - damping) * x + damping * x_new
 
     x = jax.lax.fori_loop(

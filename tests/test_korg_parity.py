@@ -209,3 +209,36 @@ def test_molecule_density_f32_matches_f64(korg_setup):
     rel = np.abs(n32[sel] / n_mol[sel] - 1.0)
     assert np.isfinite(n32).all()
     assert rel.max() < 2e-5, rel.max()
+
+
+def test_coupled_network_converges_in_stiff_regime():
+    """The stiffest case found (2500 K, rho 1e-5: ~98%-molecular H, CO
+    consuming nearly all C AND O) must be converged at the default trip
+    count — doubling the iterations must not move any density."""
+    ad = build_builtin_atom_data(max_atomic_number=30, include_molecules=True)
+    from stardis_tpu.io.abundances import create_scaled_solar_profile
+
+    mf = create_scaled_solar_profile(
+        ad, final_atomic_number=30, composition_source="asplund_2020"
+    )
+    temps = np.array([2500.0, 3000.0, 3500.0])
+    masses = ad.atom_data.mass
+    n_elem = pd.DataFrame(
+        (1e-5 * mf.values / masses.loc[mf.index].values[:, None])
+        * np.ones((1, temps.size)),
+        index=mf.index,
+    )
+    tables = build_plasma_tables(ad, n_elem.index.values)
+    state = solve_lte(
+        jnp.asarray(temps),
+        jnp.asarray(n_elem.loc[tables.zs].values),
+        device_tables(tables),
+    )
+    mt = build_molecule_tables(ad, tables, temps)
+    a = np.asarray(molecule_number_density_coupled(mt, state))
+    b = np.asarray(molecule_number_density_coupled(mt, state, n_iter=800))
+    sel = b > 1e-30
+    assert np.abs(a[sel] / b[sel] - 1.0).max() < 1e-8
+    # and hydrogen really is almost fully molecular here (the regime bites)
+    h2 = a[mt.names.index("H2")][0]
+    assert 2 * h2 / n_elem.loc[1].values[0] > 0.9
