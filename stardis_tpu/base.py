@@ -263,10 +263,11 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
         smallest count whose per-segment footprint fits the device by
         the calibrated memory model (util.memory.choose_nu_segments).
         The partition is exact (segmented == unsegmented at 1e-10).
-        With more than one segment the per-source opacity grids are not
-        retained (their size is the reason to segment);
-        ``return_radiation_field`` still provides ``F_nu`` and per-angle
-        ``I_nus``.
+        With ``return_radiation_field`` the per-source opacity grids are
+        assembled on HOST per segment (their device size is the reason
+        to segment), so ``opacities_dict`` / ``total_alphas`` match the
+        unsegmented run's keys and values (reference
+        radiation_field/base.py:71-117); without it they are left empty.
     """
     # validate before the expensive config/atom-data/plan phase so a typo
     # fails in milliseconds, not minutes
@@ -329,13 +330,19 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
             )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
             validate_line_quants(lq)
             window = line_window_tiers(plan, lq, state)
+            # result_options.return_radiation_field asks for the per-source
+            # opacity grids too (reference radiation_field/base.py:71-117);
+            # stream them to host per segment — the device-size problem
+            # segmentation solves does not apply to host RAM
+            collect = plan.track_individual_intensities
             out = segmented_spectrum(
-                plan, state, lq, window, n_segments=int(nu_segments)
+                plan, state, lq, window, n_segments=int(nu_segments),
+                collect_opacities=collect,
             )
-            f_nu, i_nus = (
-                out if plan.track_individual_intensities else (out, None)
-            )
-            total, opacities_dict = None, {}
+            if collect:
+                f_nu, i_nus, opacities_dict, total = out
+            else:
+                f_nu, i_nus, total, opacities_dict = out, None, None, {}
         else:
             f_nu, total, opacities_dict, i_nus, state, window = (
                 run_simulation(plan)

@@ -540,6 +540,8 @@ def segmented_spectrum(
     window,
     n_segments: int,
     chunk: int | None = None,
+    collect_opacities: bool = False,
+    segment_walls: list | None = None,
 ):
     """Single-chip wavelength segmentation: grids beyond HBM.
 
@@ -554,8 +556,23 @@ def segmented_spectrum(
     1e-10 bar as sharded == unsharded, because it is literally the
     sharded partition replayed serially.
 
+    collect_opacities: stream each segment's per-source opacity grids to
+    HOST numpy arrays (the reference always retains the per-source grids
+    when asked, radiation_field/base.py:71-117; their device size is the
+    reason to segment, so the full [D, N] grids live on host instead).
+    The return becomes (F_nu, I_nus | None, opacities_dict, total) where
+    opacities_dict holds host [D, N] arrays under the same keys
+    pipeline.stage_spectrum produces (including the per-line gammas /
+    doppler_widths diagnostics) and total is their "gammas/doppler"-
+    excluded sum (reference opacities/base.py:24-28).
+
+    segment_walls: optional list; when given, each segment execution is
+    synchronized (block_until_ready) and its wall-clock seconds appended —
+    the bench's real-silicon shard-load-balance meter (the segments ARE
+    the multi-chip partition replayed serially).
+
     Returns F_nu [D, N] (or (F_nu, I_nus) when the plan tracks
-    per-angle intensities).
+    per-angle intensities; see collect_opacities above).
     """
     import dataclasses
 
@@ -621,6 +638,11 @@ def segmented_spectrum(
         pair_arrays[key] = arrays
         pair_meta[key] = (metas, blk, n_blocks)
 
+    _LINE_KEYS = {
+        "atomic": "alpha_line_at_nu",
+        "molecular": "molecule_alpha_line_at_nu",
+    }
+
     def seg_fn(offset, tiers_by_key, sv, lq, eps):
         nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_seg,))
         nus_local_centered = jax.lax.dynamic_slice(
@@ -642,6 +664,7 @@ def segmented_spectrum(
                 metas=metas,
             )
             total = total + alpha_line
+            opac[_LINE_KEYS[key]] = alpha_line
         source = blackbody_flux_at_nu(nus_local, sv.t)
         f_nu_local, i_nus_local = raytrace(
             total,
@@ -652,9 +675,14 @@ def segmented_spectrum(
             photospheric_correction=plan.photospheric_correction,
             track_individual_intensities=plan.track_individual_intensities,
         )
+        outs = [f_nu_local]
         if plan.track_individual_intensities:
-            return f_nu_local, i_nus_local
-        return f_nu_local
+            outs.append(i_nus_local)
+        if collect_opacities:
+            outs.append(opac)
+        if len(outs) == 1:
+            return f_nu_local
+        return tuple(outs)
 
     # cache the compiled segment program by plan/segments/tier content so
     # repeated calls (steady-state loops, serving) don't re-trace: the
@@ -668,7 +696,7 @@ def segmented_spectrum(
 
     cache_key = (
         id(plan), K, chunk, per_seg, plan.window_mode,
-        plan.track_individual_intensities, str(dtype),
+        plan.track_individual_intensities, str(dtype), collect_opacities,
         _window_fingerprint(window) if isinstance(window, dict)
         else window,
     )
@@ -676,6 +704,10 @@ def segmented_spectrum(
                                 lambda: jax.jit(seg_fn))
     track = plan.track_individual_intensities
     f_parts, i_parts = [], []
+    opac_host = {}  # key -> host [D, n_padded] array (collect_opacities)
+    n_depth_real = len(plan.temperatures)
+    if segment_walls is not None:
+        import time as _time
     for s in range(K):
         tiers_s = {
             key: [
@@ -687,18 +719,60 @@ def segmented_spectrum(
             ]
             for key in pair_arrays
         }
+        if segment_walls is not None:
+            _t0 = _time.perf_counter()
         out = jitted(jnp.asarray(s * per_seg), tiers_s, state, line_quants,
                      eps_global)
-        if track:
-            f_parts.append(out[0])
-            i_parts.append(out[1])
+        opac_s = None
+        if track and collect_opacities:
+            f_s, i_s, opac_s = out
+        elif track:
+            f_s, i_s = out
+        elif collect_opacities:
+            f_s, opac_s = out
+            i_s = None
         else:
-            f_parts.append(out)
+            f_s, i_s = out, None
+        if segment_walls is not None:
+            jax.block_until_ready(f_s)
+            segment_walls.append(_time.perf_counter() - _t0)
+        f_parts.append(f_s)
+        if i_s is not None:
+            i_parts.append(i_s)
+        if opac_s is not None:
+            # ONE device->host transfer per segment: stack the per-source
+            # [D, per_seg] grids on device first (per-array transfers
+            # through the axon tunnel are ruinous; see CLAUDE.md)
+            keys = list(opac_s.keys())
+            stacked = np.asarray(jnp.stack([opac_s[k] for k in keys]))
+            for ki, k in enumerate(keys):
+                if k not in opac_host:
+                    opac_host[k] = np.empty(
+                        (n_depth_real, n_padded), dtype=stacked.dtype
+                    )
+                opac_host[k][:, s * per_seg:(s + 1) * per_seg] = stacked[ki]
     f_nu = jnp.concatenate(f_parts, axis=1)[:, : len(plan.tracing_nus)]
+    i_nus = None
     if track:
         i_nus = jnp.concatenate(i_parts, axis=1)[
             :, : len(plan.tracing_nus), :
         ]
+    if collect_opacities:
+        opacities_dict = {
+            k: v[:, : len(plan.tracing_nus)] for k, v in opac_host.items()
+        }
+        total = None
+        for k, v in opacities_dict.items():
+            total = v.copy() if total is None else total + v
+        # the per-line gammas/doppler diagnostics are segment-independent
+        # (they are [L, D] line quantities, not grids) — attach them once,
+        # matching pipeline.stage_spectrum's keys
+        for key, (_a, gamma, doppler) in (line_quants or {}).items():
+            prefix = _LINE_KEYS[key]
+            opacities_dict[prefix + "_gammas"] = np.asarray(gamma)
+            opacities_dict[prefix + "_doppler_widths"] = np.asarray(doppler)
+        return f_nu, i_nus, opacities_dict, total
+    if track:
         return f_nu, i_nus
     return f_nu
 

@@ -131,7 +131,10 @@ def test_run_stardis_segmented_equals_direct(test_config_path,
                                              example_tracing_nus):
     """run_stardis(nu_segments=K) — the grids-beyond-HBM path through the
     public entry point — matches the direct run at 1e-10, including the
-    per-angle intensities under return_radiation_field."""
+    per-angle intensities AND the per-source opacity grids under
+    return_radiation_field (the reference always retains the grids when
+    asked, radiation_field/base.py:71-117; the segmented path assembles
+    them host-side per segment)."""
     opts = {"result_options.return_radiation_field": True}
     direct = run_stardis(test_config_path, example_tracing_nus,
                          add_config_dict=opts)
@@ -146,17 +149,42 @@ def test_run_stardis_segmented_equals_direct(test_config_path,
         np.asarray(direct.stellar_radiation_field.I_nus),
         rtol=1e-10, atol=0,
     )
-    # per-source opacity grids are deliberately not retained when
-    # segmenting (their size is the reason to segment)
-    assert seg.stellar_radiation_field.opacities.opacities_dict == {}
+    # per-source opacity grids: identical keys AND values (1e-10)
+    op_d = direct.stellar_radiation_field.opacities.opacities_dict
+    op_s = seg.stellar_radiation_field.opacities.opacities_dict
+    assert set(op_s.keys()) == set(op_d.keys()) and op_d
+    for k in op_d:
+        np.testing.assert_allclose(
+            np.asarray(op_s[k]), np.asarray(op_d[k]), rtol=1e-10, atol=0,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(seg.stellar_radiation_field.opacities.total_alphas),
+        np.asarray(direct.stellar_radiation_field.opacities.total_alphas),
+        rtol=1e-10, atol=0,
+    )
+
+
+def test_run_stardis_segmented_without_radiation_field(test_config_path,
+                                                       example_tracing_nus):
+    """Without return_radiation_field the segmented path skips the host
+    opacity assembly entirely (no per-segment transfers) and still
+    matches the direct spectrum."""
+    direct = run_stardis(test_config_path, example_tracing_nus)
+    seg = run_stardis(test_config_path, example_tracing_nus, nu_segments=3)
+    np.testing.assert_allclose(
+        np.asarray(seg.spectrum_nu), np.asarray(direct.spectrum_nu),
+        rtol=1e-10, atol=0,
+    )
 
 
 def test_run_stardis_auto_segments(test_config_path, example_tracing_nus,
-                                   monkeypatch):
+                                   monkeypatch, caplog):
     """nu_segments='auto' picks K from the device memory model; with a
     budget squeezed via STARDIS_SEGMENT_BUDGET the tiny test grid takes
-    the segmented path (observable: empty opacities_dict) and still
-    matches the direct run exactly."""
+    the segmented path (observable: the auto-segmentation log line and
+    host-side opacity grids) and still matches the direct run exactly."""
+    import logging
     from stardis_tpu import parse_config_to_model
     from stardis_tpu.pipeline import build_simulation_plan
     from stardis_tpu.util import memory as mem
@@ -182,10 +210,16 @@ def test_run_stardis_auto_segments(test_config_path, example_tracing_nus,
     assert mem.choose_nu_segments(plan, bytes_limit=budget) > 1
 
     monkeypatch.setenv("STARDIS_SEGMENT_BUDGET", str(budget))
-    auto = run_stardis(test_config_path, example_tracing_nus,
-                       add_config_dict=opts, nu_segments="auto")
-    # the segmented path ran (it drops the per-source opacity grids)
-    assert auto.stellar_radiation_field.opacities.opacities_dict == {}
+    with caplog.at_level(logging.INFO, logger="stardis_tpu.base"):
+        auto = run_stardis(test_config_path, example_tracing_nus,
+                           add_config_dict=opts, nu_segments="auto")
+    # the segmented path ran (log line + host-assembled opacity grids,
+    # which arrive as numpy arrays rather than device arrays)
+    assert any("Auto-segmentation" in r.getMessage() for r in caplog.records)
+    auto_dict = auto.stellar_radiation_field.opacities.opacities_dict
+    assert auto_dict and all(
+        type(v) is np.ndarray for v in auto_dict.values()
+    )
     np.testing.assert_allclose(
         np.asarray(auto.spectrum_nu), np.asarray(direct.spectrum_nu),
         rtol=1e-10, atol=0,

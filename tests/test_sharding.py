@@ -263,3 +263,41 @@ def test_segmented_equals_unsharded(solar_plan):
     np.testing.assert_allclose(
         np.asarray(i_seg), np.asarray(i_ref), rtol=1e-10, atol=0
     )
+
+
+def test_segmented_collect_opacities_and_walls(solar_plan):
+    """collect_opacities streams the per-source opacity grids to host per
+    segment: keys and values must match stage_spectrum's exactly (1e-10),
+    and segment_walls must receive one positive wall per segment (the
+    bench's real-silicon shard-load-balance meter)."""
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = solar_plan
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    f_ref, tot_ref, op_ref, _i = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+
+    walls = []
+    f_seg, i_seg, op_seg, tot_seg = segmented_spectrum(
+        plan, state, lq, tiers, n_segments=3, chunk=None,
+        collect_opacities=True, segment_walls=walls,
+    )
+    assert i_seg is None  # solar_plan does not track intensities
+    assert len(walls) == 3 and all(w > 0 for w in walls)
+    np.testing.assert_allclose(
+        np.asarray(f_seg), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
+    assert set(op_seg.keys()) == set(op_ref.keys())
+    for k in op_ref:
+        np.testing.assert_allclose(
+            np.asarray(op_seg[k]), np.asarray(op_ref[k]),
+            rtol=1e-10, atol=0, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(tot_seg), np.asarray(tot_ref), rtol=1e-10, atol=0
+    )
