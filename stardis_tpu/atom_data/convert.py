@@ -246,22 +246,199 @@ def convert(src_path, dst_path) -> AtomData:
     return adata
 
 
-def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 2:
-        print(
-            "usage: python -m stardis_tpu.atom_data.convert "
-            "<carsus.h5> <native.h5>",
-            file=sys.stderr,
+def verify_report(adata: AtomData) -> dict:
+    """Per-species inventory + value checksums of a converted store.
+
+    The report is the converter's auditable fingerprint: level/line
+    counts per (Z, ion), float checksums over the physical columns
+    (energies, f_lu, nu — sensitive to any unit-conversion mistake),
+    and headline ionization energies / masses in the ORIGINAL units
+    (eV / u) so they can be eyeballed against published values.
+    """
+    levels = adata.levels
+    lines = adata.lines
+    lvl_counts = (
+        levels.groupby(level=["atomic_number", "ion_number"]).size()
+        if len(levels)
+        else pd.Series(dtype=int)
+    )
+    line_counts = (
+        lines.groupby(["atomic_number", "ion_number"]).size()
+        if len(lines)
+        else pd.Series(dtype=int)
+    )
+    report = {
+        "n_elements": int(len(adata.atom_data)),
+        "z_min": int(adata.atom_data.index.min()),
+        "z_max": int(adata.atom_data.index.max()),
+        "n_levels": int(len(levels)),
+        "n_lines": int(len(lines)),
+        "n_linelist_atoms": (
+            0 if adata.linelist_atoms is None else int(len(adata.linelist_atoms))
+        ),
+        "n_linelist_molecules": (
+            0
+            if adata.linelist_molecules is None
+            else int(len(adata.linelist_molecules))
+        ),
+        "has_molecule_data": adata.molecule_data is not None,
+        "levels_per_species": {
+            f"{z}_{i}": int(n) for (z, i), n in lvl_counts.items()
+        },
+        "lines_per_species": {
+            f"{z}_{i}": int(n) for (z, i), n in line_counts.items()
+        },
+        # unit-conversion-sensitive checksums (native cgs columns)
+        "checksum_level_energy_erg": float(levels["energy"].sum())
+        if len(levels) else 0.0,
+        "checksum_level_g": float(levels["g"].sum()) if len(levels) else 0.0,
+        "checksum_f_lu": float(lines["f_lu"].sum()) if len(lines) else 0.0,
+        "checksum_nu_hz": float(lines["nu"].sum()) if len(lines) else 0.0,
+        # headline values in ORIGINAL units for eyeball checks
+        "ionization_ev": {
+            f"{z}_{i}": round(float(chi) / EV_TO_ERG, 4)
+            for (z, i), chi in adata.ionization_data.items()
+            if (z, i) in ((1, 1), (2, 1), (2, 2), (26, 1), (26, 2))
+        },
+        "mass_u": {
+            str(z): round(float(m) / AMU_CGS, 4)
+            for z, m in adata.atom_data["mass"].items()
+            if z in (1, 2, 26)
+        },
+    }
+    return report
+
+
+def verify_against_expected(report: dict, expected: dict) -> list:
+    """Compare a verify_report against a committed expectation table.
+
+    Returns a list of human-readable failure strings (empty = pass).
+    Supports two kinds of expectation:
+
+    * structural pins that carsus documentation states outright
+      (``z_range``, ``ionization_ev`` with ``tol_ev``, ``mass_u`` with
+      ``tol_u``, ``totals`` {key: [lo, hi]} count ranges);
+    * an optional ``exact`` block (full per-species counts + checksums)
+      recorded by ``--record`` from the first verified conversion of a
+      genuine store — absent until that day, binding afterwards.
+    """
+    fails = []
+    zr = expected.get("z_range")
+    if zr and not (report["z_min"] == zr[0] and report["z_max"] == zr[1]):
+        fails.append(
+            f"element range {report['z_min']}..{report['z_max']} != "
+            f"expected {zr[0]}..{zr[1]}"
         )
-        return 2
-    adata = convert(argv[0], argv[1])
+    tol_ev = float(expected.get("tol_ev", 0.01))
+    for key, val in (expected.get("ionization_ev") or {}).items():
+        got = report["ionization_ev"].get(key)
+        if got is None or abs(got - val) > tol_ev:
+            fails.append(
+                f"ionization {key}: {got} eV != expected {val} +- {tol_ev}"
+            )
+    tol_u = float(expected.get("tol_u", 0.001))
+    for key, val in (expected.get("mass_u") or {}).items():
+        got = report["mass_u"].get(key)
+        if got is None or abs(got - val) > tol_u:
+            fails.append(f"mass Z={key}: {got} u != expected {val} +- {tol_u}")
+    for key, (lo, hi) in (expected.get("totals") or {}).items():
+        got = report.get(key)
+        if got is None or not (lo <= got <= hi):
+            fails.append(f"{key}: {got} outside expected [{lo}, {hi}]")
+    exact = expected.get("exact")
+    if exact:
+        for key, val in exact.items():
+            got = report.get(key)
+            if isinstance(val, float):
+                ok = got is not None and (
+                    abs(got - val) <= 1e-9 * max(abs(val), 1.0)
+                )
+            else:
+                ok = got == val
+            if not ok:
+                fails.append(f"exact.{key}: {got!r} != recorded {val!r}")
+    return fails
+
+
+def _builtin_expected(src_path):
+    """Bundled expectation table matching the source file's basename
+    (currently: kurucz_cd23_chianti_H_He)."""
+    import json
+    from pathlib import Path
+
+    stem = Path(src_path).name
+    for name in ("kurucz_cd23_chianti_H_He",):
+        if name in stem:
+            p = Path(__file__).parent / "expected_counts" / f"{name}.json"
+            if p.exists():
+                return json.loads(p.read_text())
+    return None
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(
+        prog="python -m stardis_tpu.atom_data.convert",
+        description="carsus/TARDIS pytables atom data -> native HDF5",
+    )
+    parser.add_argument("src", help="carsus store (pandas HDFStore)")
+    parser.add_argument("dst", help="native output path")
+    parser.add_argument(
+        "--verify", action="store_true",
+        help="print the per-species verification report and, when an "
+        "expectation table exists (bundled by store name, or --expected), "
+        "fail on any mismatch",
+    )
+    parser.add_argument(
+        "--expected", metavar="JSON",
+        help="expectation table to verify against (overrides the bundled "
+        "one)",
+    )
+    parser.add_argument(
+        "--record", metavar="JSON",
+        help="write the full report as an 'exact' expectation table — run "
+        "once against a genuine store to pin its counts/checksums",
+    )
+    args = parser.parse_args(argv)
+
+    adata = convert(args.src, args.dst)
     print(
         f"converted: {len(adata.atom_data)} elements, "
         f"{len(adata.levels)} levels, {len(adata.lines)} lines, "
         f"linelist_atoms="
         f"{0 if adata.linelist_atoms is None else len(adata.linelist_atoms)}"
     )
+    if not (args.verify or args.record):
+        return 0
+
+    report = verify_report(adata)
+    print(json.dumps(report, indent=1, sort_keys=True))
+    if args.record:
+        with open(args.record, "w") as fh:
+            json.dump(
+                {"recorded_from": str(args.src), "exact": report},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"recorded expectation table -> {args.record}")
+    if args.verify:
+        expected = None
+        if args.expected:
+            with open(args.expected) as fh:
+                expected = json.load(fh)
+        else:
+            expected = _builtin_expected(args.src)
+        if expected is None:
+            print("verify: no expectation table for this store "
+                  "(report printed above)")
+            return 0
+        fails = verify_against_expected(report, expected)
+        if fails:
+            for f in fails:
+                print(f"VERIFY FAIL: {f}", file=sys.stderr)
+            return 1
+        print(f"verify: PASSED {expected.get('name', '(table)')}")
     return 0
 
 

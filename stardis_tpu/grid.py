@@ -314,17 +314,42 @@ class GridInterpolator:
         ``synthesize_grid`` produces when driven over nested parameter
         loops.
     spectra : [M, ...] per-member spectra (any trailing shape).
+    log_flux : interpolate ``log(spectra)`` and exponentiate the result.
+        Stellar fluxes vary near-exponentially in Teff (Planck tail:
+        F ~ exp(-h nu / k T)), so LINEAR interpolation between grid
+        nodes systematically overestimates flux mid-cell; interpolating
+        in log space removes the dominant (exponential) part of that
+        curvature error.  Requires strictly positive spectra.
+
+    Accuracy guidance (measured by the leave-one-out test,
+    tests/test_grid.py::test_grid_interpolator_leave_one_out, on a
+    solar-type Halpha scan with 400-625 K node spacing): dropping a
+    node and predicting it across the resulting ~1000-1200 K cell
+    gives <=9.9% max relative flux error in linear flux and <=6.0%
+    with ``log_flux=True``.  Both modes converge as O(spacing^2), so
+    at the scan's own ~500 K spacing the mid-cell error is ~1/4 of
+    those figures (~2.5% / ~1.5%), and halving the spacing quarters
+    it again.  Pick the Teff spacing so that
+    (spacing / 1100 K)^2 x 6% meets the fit's accuracy target, and
+    prefer ``log_flux=True`` whenever spectra are positive.
 
     Queries outside the grid hull are clamped to the boundary (constant
     extrapolation) — clamping keeps gradients finite and a fit inside
     the hull unaffected.
     """
 
-    def __init__(self, points, spectra):
+    def __init__(self, points, spectra, log_flux: bool = False):
         import jax.numpy as jnp
 
         points = np.asarray(points, dtype=np.float64)
         spectra = np.asarray(spectra)
+        self.log_flux = bool(log_flux)
+        if self.log_flux:
+            if not (spectra > 0).all():
+                raise ValueError(
+                    "log_flux=True needs strictly positive spectra"
+                )
+            spectra = np.log(spectra)
         if points.ndim == 1:
             points = points[:, None]
         m, p = points.shape
@@ -384,10 +409,12 @@ class GridInterpolator:
                 w = w * (t if c else 1.0 - t)
                 idx.append(i + c)
             out = out + w * self.grid[tuple(idx)]
+        if self.log_flux:
+            out = jnp.exp(out)
         return out
 
     @classmethod
-    def from_scan(cls, out_dir, keys):
+    def from_scan(cls, out_dir, keys, log_flux: bool = False):
         """Build from a completed synthesize_grid directory whose labels
         carry numeric parameters, e.g. keys=("teff", "logg")."""
         spectra, _nus, labels = load_grid(out_dir)
@@ -398,7 +425,7 @@ class GridInterpolator:
         points = np.asarray(
             [[float(lab[k]) for k in keys] for lab in labels]
         )
-        return cls(points, spectra)
+        return cls(points, spectra, log_flux=log_flux)
 
 
 def load_grid(out_dir):

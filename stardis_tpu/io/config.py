@@ -49,7 +49,12 @@ LINE_SCHEMA = {
         # extension over the reference: solve the molecular network
         # COUPLED (shared constituent reservoirs deplete consistently;
         # fixes orders-of-magnitude C2/CH/CN inflation below ~4000 K)
-        # instead of the reference's independent per-molecule quadratics
+        # instead of the reference's independent per-molecule quadratics.
+        # Validated envelope: 2500-10000 K, rho <= 1e-5 g/cm^3 (pinned
+        # against Korg.jl in tests/test_korg_parity.py); the fixed
+        # 400-iteration Jacobi sweep converges to ~1e-11 there, and the
+        # host surface (molecule_number_density_frame) warns if the
+        # conservation residual exceeds 1e-6 outside it
         "molecules_coupled": {"type": "boolean", "default": False},
         "window_mode": {
             "enum": ["reference", "accuracy"],

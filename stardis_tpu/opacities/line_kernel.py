@@ -228,6 +228,76 @@ def assign_window_tiers(win_pix_per_line, n_nu):
     return tiers
 
 
+def window_overshoot_stats(blocked, win_2d, n_nu):
+    """Host-side meter: per-tier scheduled evaluation width vs the width
+    the physics needs (round-4 verdict: nothing metered how many masked
+    evals the tiering schedules beyond the true per-(line, depth)
+    window).
+
+    For every (line, depth-block) pair in tier ``w`` the kernel budgets
+    ``min(w, n_nu)`` pixels per depth row; the in-kernel mask then zeroes
+    everything outside the TRUE adaptive window, so the pair only
+    *needed* ``min(2*ceil(win[l, d]), n_nu)`` pixels at each real depth
+    (the same quantity the tier assignment compares against ``w`` —
+    assign_window_tiers_blocked).  The ratio is the harvestable headroom
+    of the tier ladder itself: 1.0 means the budget is exactly the
+    physics; 2.0 means half the masked evals are provably zero.  It does
+    NOT include lane-padding effects (panels are >=128 wide regardless),
+    so tiers below ~the panel width cannot be harvested past that floor.
+
+    Parameters
+    ----------
+    blocked : BlockedTiers (from assign_window_tiers_blocked).
+    win_2d : [L, D] true per-(line, depth) half-windows in pixels
+        (window_pixels / window_pixels_accuracy, pulled to host).
+    n_nu : grid length in pixels.
+
+    Returns a dict: ``per_tier`` is a list of {window, pairs, scheduled,
+    within, overshoot} (eval columns summed over pairs x real depths);
+    ``scheduled`` / ``within`` / ``overshoot`` aggregate all tiers.
+    """
+    win = np.asarray(win_2d, dtype=np.float64)
+    n_lines, n_depth = win.shape
+    blk, nb = blocked.block, blocked.n_blocks
+    need = np.minimum(2.0 * np.ceil(win), float(n_nu))  # [L, D]
+    d_pad = blk * nb
+    if d_pad != n_depth:
+        need = np.pad(need, ((0, 0), (0, d_pad - n_depth)))
+    need_blk = need.reshape(n_lines, nb, blk).sum(axis=2)  # [L, NB]
+    # real (unpadded) depth rows per block, for the scheduled count
+    rows = np.minimum(
+        np.maximum(n_depth - np.arange(nb) * blk, 0), blk
+    ).astype(np.float64)  # [NB]
+
+    per_tier = []
+    sched_total = 0.0
+    within_total = 0.0
+    for li, bi, w in blocked.tiers:
+        li = np.asarray(li)
+        bi = np.asarray(bi)
+        sched = float(min(w, n_nu)) * float(rows[bi].sum())
+        within = float(need_blk[li, bi].sum())
+        per_tier.append(
+            {
+                "window": int(w),
+                "pairs": int(len(li)),
+                "scheduled": sched,
+                "within": within,
+                "overshoot": sched / within if within else float("inf"),
+            }
+        )
+        sched_total += sched
+        within_total += within
+    return {
+        "per_tier": per_tier,
+        "scheduled": sched_total,
+        "within": within_total,
+        "overshoot": (
+            sched_total / within_total if within_total else float("inf")
+        ),
+    }
+
+
 def choose_window(win_pix_max, n_nu):
     """Static full-window width from the largest half-window (host-side)."""
     half = int(min(np.ceil(win_pix_max), n_nu))

@@ -194,7 +194,7 @@ def molecule_number_density(mt: MoleculeTables, state, dtype=None):
 
 def molecule_number_density_coupled(
     mt: MoleculeTables, state, n_iter: int = 400, damping: float = 0.5,
-    dtype=None,
+    dtype=None, return_aux: bool = False,
 ):
     """[M, D] molecular densities from the COUPLED network (extension).
 
@@ -269,19 +269,72 @@ def molecule_number_density_coupled(
         0, n_iter, body, jnp.ones((n_slots,) + n_res.shape[1:], n_res.dtype)
     )
     n_m, _, _ = _n_mol(x)
-    return jnp.maximum(n_m, 0.0)
+    n_m = jnp.maximum(n_m, 0.0)
+    if return_aux:
+        return n_m, x
+    return n_m
 
 
-def molecule_number_density_frame(mt: MoleculeTables, state, coupled=False):
+def coupled_network_residual(mt: MoleculeTables, state, x, n_m, dtype=None):
+    """Convergence diagnostic for the coupled solver: the worst relative
+    violation of per-slot conservation
+    N_s = x_s N_s + sum_m nu_{s,m} n_m over slots that participate in any
+    included molecule (``x`` and ``n_m`` from
+    molecule_number_density_coupled(return_aux=True)).  ~1e-11 in the
+    validated envelope (2500-10000 K, rho <= 1e-5 g/cm^3 — the regimes
+    pinned by tests/test_korg_parity.py); a large value means the fixed
+    400-iteration Jacobi sweep left the run's regime unconverged."""
+    n_res = state.ion_number_density
+    if dtype is not None:
+        n_res = n_res.astype(dtype)
+    i1 = jnp.asarray(mt.ion1_slot)
+    i2 = jnp.asarray(mt.ion2_slot)
+    homo = jnp.asarray(mt.homonuclear)[:, None]
+    included = jnp.asarray(mt.included)[:, None]
+    nu_m = jnp.where(included, jnp.asarray(n_m, n_res.dtype), 0.0)
+    consumed = jnp.zeros_like(n_res)
+    consumed = consumed.at[i1].add(jnp.where(homo, 2.0 * nu_m, nu_m))
+    consumed = consumed.at[i2].add(jnp.where(homo, 0.0, nu_m))
+    participates = jnp.zeros(n_res.shape[0], bool)
+    live = jnp.asarray(mt.included)
+    participates = participates.at[i1].max(live)
+    participates = participates.at[i2].max(live)
+    resid = jnp.abs(n_res - jnp.asarray(x, n_res.dtype) * n_res - consumed)
+    resid = resid / jnp.maximum(n_res, 1e-300)
+    return jnp.max(jnp.where(participates[:, None], resid, 0.0))
+
+
+def molecule_number_density_frame(mt: MoleculeTables, state, coupled=False,
+                                  columns=None):
     """Reference-shaped convenience: the notebook surface
     ``stellar_plasma.molecule_number_density`` is a DataFrame indexed by
     molecule name over depth points (reference molecules.py:138-141 /
     docs/creating_simple_models/flexible_plasma.ipynb).  ``coupled=True``
-    uses the coupled-network solver."""
-    fn = molecule_number_density_coupled if coupled else molecule_number_density
+    uses the coupled-network solver.  ``columns`` labels the depth axis
+    (the reference carries ion_number_density.columns, reference
+    molecules.py:133-137); defaults to a 0..D-1 "depth_point" index."""
+    if coupled:
+        n_m, x = molecule_number_density_coupled(mt, state, return_aux=True)
+        values = np.asarray(n_m)
+        resid = float(coupled_network_residual(mt, state, x, n_m))
+        if resid > 1e-6:
+            import warnings
+
+            warnings.warn(
+                "coupled molecular network left a conservation residual of "
+                f"{resid:.2e} (> 1e-6): this atmosphere is outside the "
+                "validated envelope (2500-10000 K, rho <= 1e-5 g/cm^3) — "
+                "densities may be unconverged",
+                stacklevel=2,
+            )
+    else:
+        values = np.asarray(molecule_number_density(mt, state))
+    if columns is None:
+        columns = pd.RangeIndex(values.shape[1], name="depth_point")
     return pd.DataFrame(
-        np.asarray(fn(mt, state)),
+        values,
         index=pd.Index(mt.names, name="molecule"),
+        columns=columns,
     )
 
 

@@ -62,6 +62,8 @@ class SpectralService:
         file_opacity_rtol: float = 1e-3,
         chunk=None,
         mesh=None,  # jax Mesh with a 'nu' axis: serve wavelength-sharded
+        nu_segments: int | str = 1,  # int K, or "auto" (memory model) —
+        # serve grids beyond HBM through the serial segmented partition
     ):
         from stardis_tpu import units as u
         from stardis_tpu.base import parse_config_to_model
@@ -69,11 +71,23 @@ class SpectralService:
 
         enable_compilation_cache()  # no-op unless STARDIS_COMPILE_CACHE set
 
+        if isinstance(nu_segments, str) and nu_segments != "auto":
+            raise ValueError(
+                f"nu_segments must be an integer or 'auto', got "
+                f"{nu_segments!r}"
+            )
+        if mesh is not None and nu_segments not in (1, "auto"):
+            raise ValueError(
+                "nu_segments and mesh are mutually exclusive: a wavelength "
+                "mesh already splits the per-device footprint"
+            )
+
         self._dtype = dtype
         self._tier_margin = float(tier_margin)
         self._file_opacity_rtol = float(file_opacity_rtol)
         self._chunk = chunk
         self._mesh = mesh
+        self._nu_segments = nu_segments
         self.stats = ServiceStats()
 
         self.config, self.atom_data, self._template_model = (
@@ -105,6 +119,20 @@ class SpectralService:
             dtype=self._dtype,
         )
         plan = self._plan
+        if self._nu_segments == "auto":
+            # a wavelength mesh already splits the per-device footprint;
+            # otherwise ask the calibrated memory model
+            if self._mesh is not None:
+                self._nu_segments = 1
+            else:
+                from stardis_tpu.util.memory import choose_nu_segments
+
+                self._nu_segments = choose_nu_segments(plan)
+                if self._nu_segments > 1:
+                    logger.info(
+                        "serving through %d serial wavelength segments",
+                        self._nu_segments,
+                    )
         self._stage1 = jax.jit(
             lambda t, n: stage_plasma_and_lines(plan, t, n)
         )
@@ -158,6 +186,9 @@ class SpectralService:
                 )
         self._window = window
 
+        # every branch returns (F_nu, I_nus | None): the service must not
+        # silently strip per-angle intensities the config asked (and paid)
+        # for — round-4 verdict #7
         chunk = self._chunk
         if self._mesh is not None:
             from stardis_tpu.parallel.sharding import shard_spectrum
@@ -170,17 +201,38 @@ class SpectralService:
                     ray_distances=rays,
                     file_sigma_override=sigmas if sigmas else None,
                 )
-                return out[0] if isinstance(out, tuple) else out
+                return out if isinstance(out, tuple) else (out, None)
 
             self._stage2 = jax.jit(sharded)
+        elif int(self._nu_segments) > 1:
+            from stardis_tpu.parallel.sharding import segmented_spectrum
+
+            k = int(self._nu_segments)
+
+            def segmented(s, q, rays, sigmas):
+                # NOT jitted here: segmented_spectrum jits its shared
+                # segment program internally and caches it by plan
+                # identity + frozen-tier fingerprint, so repeated
+                # requests are compile-free like the other branches
+                out = segmented_spectrum(
+                    plan, s, q, window, n_segments=k, chunk=chunk,
+                    ray_distances=rays,
+                    file_sigma_override=sigmas if sigmas else None,
+                )
+                return out if isinstance(out, tuple) else (out, None)
+
+            self._stage2 = segmented
         else:
-            self._stage2 = jax.jit(
-                lambda s, q, rays, sigmas: stage_spectrum(
+
+            def single(s, q, rays, sigmas):
+                res = stage_spectrum(
                     plan, s, q, window=window, chunk=chunk,
                     ray_distances=rays,
                     file_sigma_override=sigmas if sigmas else None,
-                )[0]
-            )
+                )
+                return res[0], res[3]
+
+            self._stage2 = jax.jit(single)
 
         # per-request validator: does every pair's TRUE window still fit
         # its frozen tier budget?  (one scalar per call)
@@ -359,11 +411,12 @@ class SpectralService:
             self.stats.retier_events += 1
             self._freeze_tiers(state, lq)
 
-        f_nu = self._stage2(state, lq, rays, sigmas)
+        f_nu, i_nus = self._stage2(state, lq, rays, sigmas)
         f_nu_np = np.asarray(f_nu)
         if stellar_model.spherical and plan.photospheric_correction:
             # stage_spectrum applied the TEMPLATE model's (r/r_ref)^2; swap
-            # in this model's correction
+            # in this model's correction (F only — the reference corrects
+            # the flux, not the per-angle intensities, base.py:340-344)
             corr = (
                 r[-1] / float(np.asarray(stellar_model.geometry.reference_r))
             ) ** 2
@@ -371,13 +424,18 @@ class SpectralService:
 
         lambdas = 2.99792458e18 / plan.tracing_nus  # AA
         surface = f_nu_np[-1]
-        return {
+        out = {
             "nus": plan.tracing_nus.copy(),
             "lambdas": lambdas,
             "F_nu": f_nu_np,
             "spectrum_nu": surface,
             "spectrum_lambda": surface * plan.tracing_nus / lambdas,
         }
+        if plan.track_individual_intensities:
+            # result_options.return_radiation_field asked for per-angle
+            # intensities (reference radiation_field/base.py:64-68)
+            out["I_nus"] = np.asarray(i_nus)
+        return out
 
     def synthesize_batch(self, stellar_models):
         """Serve a homogeneous list of models through the vmapped batch

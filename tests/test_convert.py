@@ -375,3 +375,72 @@ def test_download_known_names_resolve_to_reference_source():
     url = KNOWN_ATOM_DATA["kurucz_cd23_chianti_H_He"]
     assert url.startswith("https://github.com/tardis-sn/tardis-regression-data")
     assert url.endswith("kurucz_cd23_chianti_H_He.h5")
+
+
+def test_verify_report_and_expected_tables(tmp_path, capsys):
+    """convert --verify (round-4 verdict #8): the per-species report must
+    carry counts + unit-sensitive checksums + headline eV/u values, pass
+    against a matching expectation table, fail against a wrong one, and
+    --record must round-trip the exact block."""
+    import json
+
+    from stardis_tpu.atom_data import convert as cv
+    from stardis_tpu.atom_data.synthetic_carsus import write_store
+
+    src = tmp_path / "toy_store.h5"
+    write_store(carsus_frames(), src)
+
+    # report structure + values
+    adata = cv.convert_frames(cv.load_carsus_store(src))
+    report = cv.verify_report(adata)
+    assert report["z_min"] == 1 and report["z_max"] == 2
+    assert report["levels_per_species"]["1_0"] == 2
+    assert report["lines_per_species"]["1_0"] == 1
+    assert abs(report["ionization_ev"]["1_1"] - 13.5984) < 1e-3
+    assert abs(report["mass_u"]["1"] - 1.00794) < 1e-4
+    assert report["checksum_f_lu"] > 0
+
+    good = {
+        "name": "toy",
+        "z_range": [1, 2],
+        "ionization_ev": {"1_1": 13.5984, "2_2": 54.4178},
+        "mass_u": {"1": 1.008, "2": 4.0026},
+        "totals": {"n_levels": [1, 100], "n_lines": [1, 10]},
+    }
+    assert cv.verify_against_expected(report, good) == []
+    bad = dict(good, ionization_ev={"1_1": 10.0})
+    fails = cv.verify_against_expected(report, bad)
+    assert fails and "ionization 1_1" in fails[0]
+
+    # CLI: --verify with explicit table passes; --record round-trips
+    exp_path = tmp_path / "exp.json"
+    exp_path.write_text(json.dumps(good))
+    rec_path = tmp_path / "rec.json"
+    rc = cv.main([
+        str(src), str(tmp_path / "native.h5"),
+        "--verify", "--expected", str(exp_path), "--record", str(rec_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "verify: PASSED" in out
+    recorded = json.loads(rec_path.read_text())
+    assert recorded["exact"]["n_lines"] == 1
+    # a recorded exact block binds: perturb one checksum -> failure
+    recorded["exact"]["checksum_f_lu"] += 1.0
+    exp2 = tmp_path / "exp2.json"
+    exp2.write_text(json.dumps(recorded))
+    rc = cv.main([
+        str(src), str(tmp_path / "native2.h5"),
+        "--verify", "--expected", str(exp2),
+    ])
+    assert rc == 1
+
+    # the bundled kurucz table parses and its structural pins are sane
+    from pathlib import Path
+
+    bundled = json.loads(
+        (Path(cv.__file__).parent / "expected_counts" /
+         "kurucz_cd23_chianti_H_He.json").read_text()
+    )
+    assert bundled["z_range"] == [1, 30]
+    assert abs(bundled["ionization_ev"]["1_1"] - 13.5984) < 1e-3

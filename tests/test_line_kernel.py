@@ -587,3 +587,37 @@ def test_pair_programs_per_shard_match_host_kernel(mode):
             assert lv_a.sum() < ndev * max(
                 len(li) for li, bi, w in blocked.tiers if w == m["window"]
             )
+
+
+def test_window_overshoot_stats_exact_on_hand_case():
+    """The overshoot meter must reproduce a hand-computed schedule/need
+    budget: pairs are tiered by their block-max window, scheduled evals
+    are tier-width x real depth rows, and 'within' sums the true
+    per-depth window clipped to the grid."""
+    from stardis_tpu.opacities.line_kernel import (
+        assign_window_tiers_blocked,
+        window_overshoot_stats,
+    )
+
+    n_nu = 1000
+    # 2 lines x 10 depths, block=8 -> 2 blocks (second block: 2 real rows)
+    win = np.full((2, 10), 20.0)
+    win[0, 0] = 300.0   # drags line 0 / block 0 into the 1024-full tier
+    blocked = assign_window_tiers_blocked(win, n_nu, block=8)
+    stats = window_overshoot_stats(blocked, win, n_nu)
+
+    assert stats["scheduled"] >= stats["within"] > 0
+    for t in stats["per_tier"]:
+        assert t["overshoot"] >= 1.0 - 1e-12, t
+    # hand count: tier 128 holds 3 blocks (line0/blk1, line1/blk0+blk1);
+    # real rows = 2 + 8 + 2 = 12 -> scheduled 128*12, within 40*12
+    t128 = [t for t in stats["per_tier"] if t["window"] == 128][0]
+    assert t128["pairs"] == 3
+    assert t128["scheduled"] == 128 * 12
+    assert t128["within"] == 40 * 12
+    # the full tier holds line0/blk0: scheduled min(full, n_nu)*8 rows,
+    # within = min(600, 1000)*1 + 40*7
+    tfull = [t for t in stats["per_tier"] if t["window"] > 128][0]
+    assert tfull["pairs"] == 1
+    assert tfull["scheduled"] == 1000 * 8
+    assert tfull["within"] == 600 + 40 * 7
