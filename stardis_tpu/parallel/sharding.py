@@ -413,21 +413,25 @@ def shard_batch_spectrum(
             centers_host["atomic"] = line_center_indices(
                 nus_padded, plan.line_data.nu
             )
+            # HOST numpy on purpose: these become closure constants of the
+            # jitted shard/segment programs, and lowering a DEVICE-resident
+            # constant forces a device->host fetch per array (~84 s each
+            # through the axon tunnel; see plasma.lte.device_tables)
             line_sets["atomic"] = (
-                jnp.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(centers_host["atomic"]),
+                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["atomic"]),
             )
         if "molecular" in lq_b:
             centers_host["molecular"] = line_center_indices(
                 nus_padded, plan.molecule_line_data.nu
             )
             line_sets["molecular"] = (
-                jnp.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(centers_host["molecular"]),
+                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["molecular"]),
             )
 
-    nu_full = jnp.asarray(nus_padded, dtype=dtype)
-    nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
+    nu_full = np.asarray(nus_padded, dtype=dtype)
+    nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)
 
     n_depth = len(plan.temperatures)
     pair_args = {}
@@ -475,7 +479,11 @@ def shard_batch_spectrum(
                 total = val if total is None else total + val
             eps = ep[None, :] if accuracy else plan.window_epsilon
             for key, (alpha, gamma, doppler) in (q or {}).items():
-                line_nu_dev, centers_dev = line_sets[key]
+                # host numpy constants -> traced constants here (inside
+                # the jitted program), so traced-index gathers work and
+                # lowering never fetches a device-resident constant
+                line_nu_dev = jnp.asarray(line_sets[key][0])
+                centers_dev = jnp.asarray(line_sets[key][1])
                 metas, blk, n_blocks = pair_meta[key]
                 alpha_line = accumulate_pairs_blocked(
                     nus_local_centered, line_nu_dev, centers_dev - offset,
@@ -542,6 +550,8 @@ def segmented_spectrum(
     chunk: int | None = None,
     collect_opacities: bool = False,
     segment_walls: list | None = None,
+    ray_distances=None,  # [G, T] override (serving: per-request geometry)
+    file_sigma_override=None,  # [D, N] global sigmas (serving: re-interp)
 ):
     """Single-chip wavelength segmentation: grids beyond HBM.
 
@@ -600,6 +610,20 @@ def segmented_spectrum(
             ],
         )
 
+    rays_in = (
+        plan.ray_distances if ray_distances is None else ray_distances
+    )
+    sigmas_in = ()
+    if file_sigma_override is not None:
+        # pad the (possibly traced) global sigma tables to the segment
+        # grid; compute_continuum slices them per offset
+        def _pad_sig_seg(sig):
+            sig = jnp.asarray(sig, dtype=dtype)
+            p = n_padded - sig.shape[1]
+            return jnp.pad(sig, ((0, 0), (0, p)), mode="edge") if p else sig
+
+        sigmas_in = tuple(_pad_sig_seg(s) for s in file_sigma_override)
+
     nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
     line_sets = {}
     centers_host = {}
@@ -608,21 +632,25 @@ def segmented_spectrum(
             centers_host["atomic"] = line_center_indices(
                 nus_padded, plan.line_data.nu
             )
+            # HOST numpy on purpose: these become closure constants of the
+            # jitted shard/segment programs, and lowering a DEVICE-resident
+            # constant forces a device->host fetch per array (~84 s each
+            # through the axon tunnel; see plasma.lte.device_tables)
             line_sets["atomic"] = (
-                jnp.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(centers_host["atomic"]),
+                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["atomic"]),
             )
         if "molecular" in line_quants:
             centers_host["molecular"] = line_center_indices(
                 nus_padded, plan.molecule_line_data.nu
             )
             line_sets["molecular"] = (
-                jnp.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(centers_host["molecular"]),
+                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["molecular"]),
             )
 
-    nu_full = jnp.asarray(nus_padded, dtype=dtype)
-    nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
+    nu_full = np.asarray(nus_padded, dtype=dtype)
+    nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)
 
     n_depth = len(plan.temperatures)
     pair_arrays = {}  # key -> list over programs of [K, ...] host arrays
@@ -643,17 +671,24 @@ def segmented_spectrum(
         "molecular": "molecule_alpha_line_at_nu",
     }
 
-    def seg_fn(offset, tiers_by_key, sv, lq, eps):
+    def seg_fn(offset, tiers_by_key, sv, lq, eps, rays, sigmas):
         nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_seg,))
         nus_local_centered = jax.lax.dynamic_slice(
             nu_full_centered, (offset,), (per_seg,)
         )
-        opac = compute_continuum(plan, sv, nus_local, nu_offset=offset)
+        opac = compute_continuum(
+            plan, sv, nus_local, nu_offset=offset,
+            file_sigma_override=sigmas if sigmas else None,
+        )
         total = None
         for _k, val in opac.items():
             total = val if total is None else total + val
         for key, (alpha, gamma, doppler) in (lq or {}).items():
-            line_nu_dev, centers_dev = line_sets[key]
+            # host numpy constants -> traced constants here (inside the
+            # jitted program), so traced-index gathers work and lowering
+            # never fetches a device-resident constant
+            line_nu_dev = jnp.asarray(line_sets[key][0])
+            centers_dev = jnp.asarray(line_sets[key][1])
             metas, blk, n_blocks = pair_meta[key]
             alpha_line = accumulate_pairs_blocked(
                 nus_local_centered, line_nu_dev, centers_dev - offset,
@@ -669,7 +704,7 @@ def segmented_spectrum(
         f_nu_local, i_nus_local = raytrace(
             total,
             source,
-            jnp.asarray(plan.ray_distances, dtype=dtype),
+            jnp.asarray(rays, dtype=dtype),
             jnp.asarray(plan.weights, dtype=dtype),
             inward_rays=plan.inward_rays,
             photospheric_correction=plan.photospheric_correction,
@@ -722,7 +757,7 @@ def segmented_spectrum(
         if segment_walls is not None:
             _t0 = _time.perf_counter()
         out = jitted(jnp.asarray(s * per_seg), tiers_s, state, line_quants,
-                     eps_global)
+                     eps_global, rays_in, sigmas_in)
         opac_s = None
         if track and collect_opacities:
             f_s, i_s, opac_s = out
@@ -842,21 +877,25 @@ def shard_spectrum(
             centers_host["atomic"] = line_center_indices(
                 nus_padded, plan.line_data.nu
             )
+            # HOST numpy on purpose: these become closure constants of the
+            # jitted shard/segment programs, and lowering a DEVICE-resident
+            # constant forces a device->host fetch per array (~84 s each
+            # through the axon tunnel; see plasma.lte.device_tables)
             line_sets["atomic"] = (
-                jnp.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(centers_host["atomic"]),
+                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["atomic"]),
             )
         if "molecular" in line_quants:
             centers_host["molecular"] = line_center_indices(
                 nus_padded, plan.molecule_line_data.nu
             )
             line_sets["molecular"] = (
-                jnp.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                jnp.asarray(centers_host["molecular"]),
+                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["molecular"]),
             )
 
-    nu_full = jnp.asarray(nus_padded, dtype=dtype)
-    nu_full_centered = jnp.asarray(nus_padded - nu_ref, dtype=dtype)
+    nu_full = np.asarray(nus_padded, dtype=dtype)
+    nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)
 
     # shard-aware line bucketing (host side): per tier, compile the same
     # panel/split/dense program structure the single-chip kernel runs and
@@ -902,7 +941,11 @@ def shard_spectrum(
 
         eps = eps_global
         for key, (alpha, gamma, doppler) in (lq_rep or {}).items():
-            line_nu_dev, centers_dev = line_sets[key]
+            # host numpy constants -> traced constants here (inside the
+            # jitted program), so traced-index gathers work and lowering
+            # never fetches a device-resident constant
+            line_nu_dev = jnp.asarray(line_sets[key][0])
+            centers_dev = jnp.asarray(line_sets[key][1])
             spec = window[key] if isinstance(window, dict) else window
             if key in pair_meta:
                 # bucketed programs: this shard's own schedule (leading

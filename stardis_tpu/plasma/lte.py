@@ -49,7 +49,8 @@ N_E_BISECTION_ITERS = 80
 
 
 class DevicePlasmaTables(NamedTuple):
-    """PlasmaTables payload as device arrays (a pytree jit argument)."""
+    """PlasmaTables payload as jit-ready arrays (host numpy — embedded as
+    compile-time constants; see device_tables on why not device arrays)."""
 
     slot_element: jnp.ndarray  # [S]
     slot_ion: jnp.ndarray  # [S]
@@ -62,10 +63,19 @@ class DevicePlasmaTables(NamedTuple):
     level_g: jnp.ndarray  # [L]
     level_slot: jnp.ndarray  # [L]
     h_slots: jnp.ndarray  # [2] slots of (H I, H II); 0 when H absent
-    has_hydrogen: jnp.ndarray  # [] bool
+    has_hydrogen: bool
 
 
 def device_tables(tables: PlasmaTables, dtype=jnp.float64) -> DevicePlasmaTables:
+    """Jit-ready constant tables.
+
+    Deliberately HOST numpy arrays, not eager device arrays: the tables
+    are closed over the jitted stages as compile-time constants, and
+    MLIR lowering embeds numpy constants directly, whereas a
+    device-resident constant forces a device->host fetch PER ARRAY at
+    lowering time — ~84 s each through the axon tunnel (measured round
+    5; the hang looked like a dead chip).  XLA ships the embedded
+    constants to the device once, inside the executable."""
     j_max = tables.j_max
     e_count = tables.n_elements
     charges = np.broadcast_to(np.arange(j_max), (e_count, j_max))
@@ -76,19 +86,20 @@ def device_tables(tables: PlasmaTables, dtype=jnp.float64) -> DevicePlasmaTables
     except KeyError:
         h_slots = np.array([0, 0])
         has_h = False
+    dtype = np.dtype(dtype)
     return DevicePlasmaTables(
-        slot_element=jnp.asarray(tables.slot_element),
-        slot_ion=jnp.asarray(tables.slot_ion),
-        slot_index=jnp.asarray(tables.slot_index),
-        chi=jnp.asarray(tables.chi, dtype=dtype),
-        chi_mask=jnp.asarray(tables.chi_mask),
-        ion_charges=jnp.asarray(charges, dtype=dtype),
-        ion_mask=jnp.asarray(ion_mask),
-        level_energy=jnp.asarray(tables.level_energy, dtype=dtype),
-        level_g=jnp.asarray(tables.level_g, dtype=dtype),
-        level_slot=jnp.asarray(tables.level_slot),
-        h_slots=jnp.asarray(h_slots, dtype=jnp.int32),
-        has_hydrogen=jnp.asarray(has_h),
+        slot_element=np.asarray(tables.slot_element),
+        slot_ion=np.asarray(tables.slot_ion),
+        slot_index=np.asarray(tables.slot_index),
+        chi=np.asarray(tables.chi, dtype=dtype),
+        chi_mask=np.asarray(tables.chi_mask),
+        ion_charges=np.asarray(charges, dtype=dtype),
+        ion_mask=np.asarray(ion_mask),
+        level_energy=np.asarray(tables.level_energy, dtype=dtype),
+        level_g=np.asarray(tables.level_g, dtype=dtype),
+        level_slot=np.asarray(tables.level_slot),
+        h_slots=np.asarray(h_slots, dtype=np.int32),
+        has_hydrogen=bool(has_h),
     )
 
 

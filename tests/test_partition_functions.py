@@ -113,3 +113,20 @@ def test_he_i_n4_to_n6_levels_present(tables):
     sel = tables.level_slot == slot
     high = tables.level_energy[sel] > 23.5 * 1.602176634e-12
     assert tables.level_g[sel][high].sum() >= 308
+
+
+def test_u_10000_fe_group_pins_within_10pct(tables):
+    """Round-4 verdict #9: the species with solid published full-ladder
+    U(10^4 K) central values (Irwin 1981-era consensus, provenance
+    documented next to HIGH_LADDER_TAILS_EV) are pinned at +-10%, not
+    just bracketed — a tail-weight regression that moves Fe I/II,
+    Ti I/II or Cr I/II by more than 10% fails here."""
+    from stardis_tpu.atom_data.nist_levels import PUBLISHED_U_10000K_PINS
+
+    assert len(PUBLISHED_U_10000K_PINS) == 6
+    for (z, ion), central in PUBLISHED_U_10000K_PINS.items():
+        u = host_partition_function(tables, z, ion, 10_000.0)
+        assert abs(u - central) <= 0.10 * central, (
+            f"U(Z={z}, ion={ion}, 10^4 K) = {u:.1f} deviates more than "
+            f"10% from the published central value {central}"
+        )
