@@ -162,6 +162,50 @@ class BlockedTiers:
         return [(len(li), w) for li, bi, w in self.tiers]
 
 
+def block_max_windows(win, n_depth, block):
+    """DEVICE-side [L, D] -> [L, NB] depth-block max (zero-padded tail).
+
+    The tier assignment only needs each pair's block-max window, so
+    reducing on device before the host pull shrinks the device->host
+    transfer by the block factor — the [L, D] pull was the slowest
+    single host round-trip of the two-stage pipeline through the axon
+    tunnel (round 5; ~17 MB/s steady after a ~30-85 s first-fetch
+    warmup)."""
+    import jax.numpy as _jnp
+
+    n_lines = win.shape[0]
+    nb = int(np.ceil(n_depth / block))
+    d_pad = nb * block
+    if d_pad != n_depth:
+        win = _jnp.concatenate(
+            [win, _jnp.zeros((n_lines, d_pad - n_depth), win.dtype)], axis=1
+        )
+    return win.reshape(n_lines, nb, block).max(axis=2)
+
+
+def assign_window_tiers_from_block_max(win_blk, n_nu, block):
+    """Host-side tier assignment from a pre-reduced [L, NB] block-max
+    window array (block_max_windows).  See assign_window_tiers_blocked
+    for the tiering rationale."""
+    win_blk = np.asarray(win_blk)
+    n_blocks = win_blk.shape[1]
+    full = int(np.ceil(2 * n_nu / 128.0) * 128)
+    tiers = []
+    assigned = np.zeros_like(win_blk, dtype=bool)
+    for w in TIER_WINDOWS:
+        if w >= full:
+            break
+        sel = (~assigned) & (2 * np.ceil(win_blk) <= w)
+        li, bi = np.nonzero(sel)
+        if len(li):
+            tiers.append((li.astype(np.int64), bi.astype(np.int64), int(w)))
+        assigned |= sel
+    li, bi = np.nonzero(~assigned)
+    if len(li):
+        tiers.append((li.astype(np.int64), bi.astype(np.int64), full))
+    return BlockedTiers(tiers=tiers, block=int(block), n_blocks=n_blocks)
+
+
 def assign_window_tiers_blocked(win_2d, n_nu, block: int = 8):
     """Host-side: bucket (line, depth-block) pairs into window tiers.
 
@@ -182,22 +226,7 @@ def assign_window_tiers_blocked(win_2d, n_nu, block: int = 8):
     if d_pad != n_depth:
         win = np.pad(win, ((0, 0), (0, d_pad - n_depth)))
     win_blk = win.reshape(n_lines, n_blocks, block).max(axis=2)  # [L, NB]
-
-    full = int(np.ceil(2 * n_nu / 128.0) * 128)
-    tiers = []
-    assigned = np.zeros_like(win_blk, dtype=bool)
-    for w in TIER_WINDOWS:
-        if w >= full:
-            break
-        sel = (~assigned) & (2 * np.ceil(win_blk) <= w)
-        li, bi = np.nonzero(sel)
-        if len(li):
-            tiers.append((li.astype(np.int64), bi.astype(np.int64), int(w)))
-        assigned |= sel
-    li, bi = np.nonzero(~assigned)
-    if len(li):
-        tiers.append((li.astype(np.int64), bi.astype(np.int64), full))
-    return BlockedTiers(tiers=tiers, block=int(block), n_blocks=n_blocks)
+    return assign_window_tiers_from_block_max(win_blk, n_nu, block)
 
 
 def assign_window_tiers(win_pix_per_line, n_nu):

@@ -198,10 +198,19 @@ def batch_window_tiers(plan, state, lq):
         else:
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
         if plan.window_block > 0:
-            win_line_depth = np.asarray(jnp.max(win, axis=0))  # [L, D]
-            bt = assign_window_tiers_blocked(
-                win_line_depth, len(plan.tracing_nus),
-                block=plan.window_block,
+            from stardis_tpu.opacities.line_kernel import (
+                assign_window_tiers_from_block_max,
+                block_max_windows,
+            )
+
+            # batch-max then block-max on DEVICE; pull only [L, NB]
+            win_blk = block_max_windows(
+                jnp.max(win, axis=0), len(plan.temperatures),
+                plan.window_block,
+            )
+            bt = assign_window_tiers_from_block_max(
+                np.asarray(win_blk), len(plan.tracing_nus),
+                plan.window_block,
             )
             # split-dense core width from the batch-max doppler
             bt.core_half = split_core_half(

@@ -360,8 +360,17 @@ def line_window_tiers(plan, line_quants, state=None):
         else:
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
         if plan.window_block > 0:
-            bt = assign_window_tiers_blocked(
-                np.asarray(win), n_nu, block=plan.window_block
+            # block-max on DEVICE, pull only [L, NB] (block_max_windows)
+            from stardis_tpu.opacities.line_kernel import (
+                assign_window_tiers_from_block_max,
+                block_max_windows,
+            )
+
+            win_blk = block_max_windows(
+                win, len(plan.temperatures), plan.window_block
+            )
+            bt = assign_window_tiers_from_block_max(
+                np.asarray(win_blk), n_nu, plan.window_block
             )
             # static core half-width for the split dense path: beyond it,
             # |dnu|/doppler > 15.5 for every line/depth, so the far wings

@@ -162,9 +162,18 @@ class SpectralService:
             else:
                 win = window_pixels(alpha, gamma, doppler, plan.d_nu)
             if plan.window_block > 0:
-                bt = assign_window_tiers_blocked(
-                    np.asarray(win) * self._tier_margin, n_nu,
-                    block=plan.window_block,
+                from stardis_tpu.opacities.line_kernel import (
+                    assign_window_tiers_from_block_max,
+                    block_max_windows,
+                )
+
+                # block-max on DEVICE; pull only [L, NB]
+                win_blk = block_max_windows(
+                    win, len(plan.temperatures), plan.window_block
+                )
+                bt = assign_window_tiers_from_block_max(
+                    np.asarray(win_blk) * self._tier_margin, n_nu,
+                    plan.window_block,
                 )
                 # split-dense core width, with the tier margin so hotter
                 # requests (larger doppler) stay in the frozen core; the
