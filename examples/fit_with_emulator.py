@@ -74,7 +74,11 @@ def main():
     )
     print(f"  scan: {res['computed']} chunk(s) computed, "
           f"{res['skipped']} resumed")
-    emul = GridInterpolator.from_scan(tmp / "library", keys=("teff",))
+    # log_flux: spectra vary near-exponentially in Teff, so interpolating
+    # log F roughly halves the mid-cell emulator error (measured in
+    # tests/test_grid.py::test_grid_interpolator_leave_one_out)
+    emul = GridInterpolator.from_scan(tmp / "library", keys=("teff",),
+                                      log_flux=True)
 
     # "observed" star: direct synthesis OFF the grid nodes + rotation
     true_teff, true_vrot = 5640.0, 9.0

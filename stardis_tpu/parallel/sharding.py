@@ -576,10 +576,13 @@ def segmented_spectrum(
     doppler_widths diagnostics) and total is their "gammas/doppler"-
     excluded sum (reference opacities/base.py:24-28).
 
-    segment_walls: optional list; when given, each segment execution is
-    synchronized (block_until_ready) and its wall-clock seconds appended —
-    the bench's real-silicon shard-load-balance meter (the segments ARE
-    the multi-chip partition replayed serially).
+    segment_walls: optional list; when given, receives each segment's
+    completion-time delta in seconds — the bench's real-silicon
+    shard-load-balance meter (the segments ARE the multi-chip partition
+    replayed serially).  All segments are enqueued first and synchronized
+    in order, so the deltas are per-segment DEVICE walls with host
+    dispatch latency overlapped; walls[0] additionally carries the
+    dispatch ramp, so balance readers should use walls[1:].
 
     Returns F_nu [D, N] (or (F_nu, I_nus) when the plan tracks
     per-angle intensities; see collect_opacities above).
@@ -735,29 +738,53 @@ def segmented_spectrum(
         _window_fingerprint(window) if isinstance(window, dict)
         else window,
     )
-    jitted = _cache_get_or_make(_SEG_CACHE, cache_key,
-                                lambda: jax.jit(seg_fn))
+    def _make_cached():
+        # the per-segment schedules live on DEVICE with the compiled
+        # program: transferring them per call added a multi-second first
+        # segment (and per-request cost in serving) through the tunnel
+        tiers_dev = [
+            {
+                key: [
+                    tuple(
+                        None if a is None else jnp.asarray(a[s])
+                        for a in arrs
+                    )
+                    for arrs in pair_arrays[key]
+                ]
+                for key in pair_arrays
+            }
+            for s in range(K)
+        ]
+        return jax.jit(seg_fn), tiers_dev
+
+    jitted, tiers_dev = _cache_get_or_make(_SEG_CACHE, cache_key,
+                                           _make_cached)
     track = plan.track_individual_intensities
     f_parts, i_parts = [], []
     opac_host = {}  # key -> host [D, n_padded] array (collect_opacities)
     n_depth_real = len(plan.temperatures)
+
+    def _dispatch(s):
+        return jitted(jnp.asarray(s * per_seg), tiers_dev[s], state,
+                      line_quants, eps_global, rays_in, sigmas_in)
+
+    # dispatch ALL segments first (async), then unpack/synchronize in
+    # order: device execution is serial in dispatch order, so the
+    # completion-time deltas are per-segment DEVICE walls with host
+    # dispatch latency overlapped — segment_walls[0] additionally carries
+    # the dispatch ramp; load-balance readers should use walls[1:].
+    # collect_opacities instead streams serially (an enqueued pipeline
+    # would hold every segment's opacity grids on device at once — the
+    # exact footprint segmentation exists to avoid).
+    outs = None
     if segment_walls is not None:
         import time as _time
+
+        _t_prev = _time.perf_counter()
+    if not collect_opacities:
+        outs = [_dispatch(s) for s in range(K)]
     for s in range(K):
-        tiers_s = {
-            key: [
-                tuple(
-                    None if a is None else jnp.asarray(a[s])
-                    for a in arrs
-                )
-                for arrs in pair_arrays[key]
-            ]
-            for key in pair_arrays
-        }
-        if segment_walls is not None:
-            _t0 = _time.perf_counter()
-        out = jitted(jnp.asarray(s * per_seg), tiers_s, state, line_quants,
-                     eps_global, rays_in, sigmas_in)
+        out = outs[s] if outs is not None else _dispatch(s)
         opac_s = None
         if track and collect_opacities:
             f_s, i_s, opac_s = out
@@ -770,7 +797,9 @@ def segmented_spectrum(
             f_s, i_s = out, None
         if segment_walls is not None:
             jax.block_until_ready(f_s)
-            segment_walls.append(_time.perf_counter() - _t0)
+            _t_now = _time.perf_counter()
+            segment_walls.append(_t_now - _t_prev)
+            _t_prev = _t_now
         f_parts.append(f_s)
         if i_s is not None:
             i_parts.append(i_s)
