@@ -694,10 +694,15 @@ def main():
             )
             extras["shard_segment_walls_s"] = wide["seg"]["segment_walls"]
             extras_line += (
-                "; 150k-grid 8-segment shard replay: max segment %.3fs "
-                "of stage-2 %.3fs -> wall-clock shard efficiency %.2f"
+                "; 150k-grid 8-segment shard replay: max steady segment "
+                "%.3fs (walls[0]=%.2fs carries the dispatch ramp) of "
+                "stage-2 %.3fs -> wall-clock shard efficiency %.2f "
+                "(>=1 means no measurable per-shard penalty: the "
+                "unsegmented baseline pays tunnel per-execution overhead "
+                "the steady completion deltas exclude)"
                 % (
-                    max(wide["seg"]["segment_walls"]), wide["s2_wall"],
+                    max(wide["seg"]["segment_walls"][1:]),
+                    wide["seg"]["segment_walls"][0], wide["s2_wall"],
                     wide["seg"]["efficiency"],
                 )
             )

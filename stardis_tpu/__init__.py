@@ -23,6 +23,6 @@ coupled-network solver — ``opacity.line.molecules_coupled``).
 
 from stardis_tpu.base import STARDISOutput, parse_config_to_model, run_stardis
 
-__version__ = "0.4.1"
+__version__ = "0.5.0"
 
 __all__ = ["run_stardis", "STARDISOutput", "parse_config_to_model"]
