@@ -249,6 +249,34 @@ def run_wide_grid(n_lambda=150_000, n_iter=2, n_rep=3, seg_k=8):
 
     s2_wall, _ = median_of(s2_loop, n_rep)
 
+    # accuracy window mode (opt-in physics-bounded wing truncation,
+    # docs/performance.md): same plan/state/line quantities, tighter
+    # tiers — the eval-count lever the reference-mode overshoot meter
+    # shows is otherwise exhausted.  BENCH_ACCURACY=0 skips.
+    acc_wall = None
+    if os.environ.get("BENCH_ACCURACY", "1") != "0":
+        import dataclasses
+
+        plan_a = dataclasses.replace(plan, window_mode="accuracy")
+        w_a = line_window_tiers(plan_a, lq, state)
+        s2a = jax.jit(
+            lambda s, q: stage_spectrum(
+                plan_a, s, q, window=w_a, chunk=None
+            )[0]
+        )
+        fa = s2a(state, lq)
+        jax.block_until_ready(fa)
+
+        def acc_loop():
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                st, q = s1(temps, n_elem)
+                out = s2a(st, q)
+                jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / n_iter
+
+        acc_wall, _ = median_of(acc_loop, n_rep)
+
     seg = {}
     if seg_k:
         # warmup (compile the shared segment program + device-cache the
@@ -279,6 +307,7 @@ def run_wide_grid(n_lambda=150_000, n_iter=2, n_rep=3, seg_k=8):
         "s2_wall": s2_wall,
         "cells_per_s": n_lambda * len(plan.temperatures) / wall,
         "seg": seg,
+        "accuracy_wall": acc_wall,
     }
 
 
@@ -678,6 +707,14 @@ def main():
             "batch_wall_s": round(bat_wall, 4),
             "batch_spread": round(bat_spread, 3),
         }
+        if wide.get("accuracy_wall"):
+            extras["wide_grid_accuracy_wall_s"] = round(
+                wide["accuracy_wall"], 3
+            )
+            extras_line += (
+                "; accuracy window mode (physics-bounded wings) %.2fs"
+                % wide["accuracy_wall"]
+            )
         extras_line = (
             "; wide-grid %dk-pt full-visible x 100k lines %.2fs "
             "(%.2e cells/s, spread %.0f%%); %d-atmosphere batch %.1f "
