@@ -257,3 +257,38 @@ def test_stellar_plasma_molecule_surface(test_config_path,
     out2 = run_stardis(test_config_path, example_tracing_nus)
     with pytest.raises(ValueError, match="include_molecules"):
         out2.stellar_plasma.molecule_number_density
+
+
+def test_run_stardis_mesh_matches_direct(test_config_path,
+                                         example_tracing_nus):
+    """run_stardis(mesh=...) — one-call wavelength-sharded synthesis
+    through the public entry point — matches the direct run at 1e-10;
+    return_radiation_field on the mesh path is a clear error (no
+    sometimes-empty opacities_dict), and mesh + nu_segments>1 is
+    rejected."""
+    import jax
+
+    from stardis_tpu.parallel.sharding import make_nu_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    # the module fixture config sets return_radiation_field — turn it
+    # off for the mesh comparison (the mesh path refuses it, below)
+    opts = {"result_options.return_radiation_field": False}
+    direct = run_stardis(test_config_path, example_tracing_nus,
+                         add_config_dict=opts)
+    mesh = make_nu_mesh(4)
+    sharded = run_stardis(test_config_path, example_tracing_nus, mesh=mesh,
+                          add_config_dict=opts)
+    np.testing.assert_allclose(
+        np.asarray(sharded.spectrum_nu), np.asarray(direct.spectrum_nu),
+        rtol=1e-10, atol=0,
+    )
+    with pytest.raises(ValueError, match="return_radiation_field"):
+        run_stardis(
+            test_config_path, example_tracing_nus, mesh=mesh,
+            add_config_dict={"result_options.return_radiation_field": True},
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_stardis(test_config_path, example_tracing_nus, mesh=mesh,
+                    nu_segments=3, add_config_dict=opts)
