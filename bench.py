@@ -297,11 +297,11 @@ def run_wide_grid(n_lambda=150_000, n_iter=2, n_rep=3, seg_k=8):
             # is a LOWER bound on real-multi-chip load balance
             "efficiency": s2_wall / (seg_k * max(walls[1:])),
         }
+    # return SCALARS only: keeping plan/state/lq alive would pin hundreds
+    # of MB of device buffers (per-line quantities for 100k lines) through
+    # the memory-constrained flagship run that follows
     return {
-        "plan": plan,
-        "state": state,
-        "lq": lq,
-        "window": w,
+        "n_lambda": n_lambda,
         "wall": wall,
         "spread": spread,
         "s2_wall": s2_wall,
@@ -359,9 +359,7 @@ def run_flagship(n_lambda=1_000_000, wide=None, n_iter=2):
 
     overhead = None
     if wide is not None and wide.get("s2_wall"):
-        extrap = wide["s2_wall"] * (
-            n_lambda / (len(wide["plan"].tracing_nus))
-        )
+        extrap = wide["s2_wall"] * (n_lambda / wide["n_lambda"])
         overhead = s2_wall / extrap
     return {
         "n_lambda": n_lambda,
@@ -707,14 +705,6 @@ def main():
             "batch_wall_s": round(bat_wall, 4),
             "batch_spread": round(bat_spread, 3),
         }
-        if wide.get("accuracy_wall"):
-            extras["wide_grid_accuracy_wall_s"] = round(
-                wide["accuracy_wall"], 3
-            )
-            extras_line += (
-                "; accuracy window mode (physics-bounded wings) %.2fs"
-                % wide["accuracy_wall"]
-            )
         extras_line = (
             "; wide-grid %dk-pt full-visible x 100k lines %.2fs "
             "(%.2e cells/s, spread %.0f%%); %d-atmosphere batch %.1f "
@@ -725,6 +715,14 @@ def main():
                 100 * bat_spread,
             )
         )
+        if wide.get("accuracy_wall"):
+            extras["wide_grid_accuracy_wall_s"] = round(
+                wide["accuracy_wall"], 3
+            )
+            extras_line += (
+                "; accuracy window mode (physics-bounded wings) %.2fs"
+                % wide["accuracy_wall"]
+            )
         if wide["seg"]:
             extras["shard_wall_efficiency"] = round(
                 wide["seg"]["efficiency"], 3

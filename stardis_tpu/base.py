@@ -310,6 +310,18 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
     config, adata, stellar_model = parse_config_to_model(
         config_fname, add_config_dict
     )
+    if mesh is not None and config.result_options.return_radiation_field:
+        # the mesh path does not assemble the per-source opacity grids;
+        # refuse BEFORE the expensive plan phase rather than hand back a
+        # sometimes-empty opacities_dict (the round-4 verdict's
+        # segmented-path trap)
+        raise ValueError(
+            "result_options.return_radiation_field is not supported with "
+            "mesh= (the sharded path does not assemble per-source opacity "
+            "grids): run single-chip / nu_segments for the full radiation "
+            "field, or drive parallel.sharding.shard_spectrum directly "
+            "for sharded F_nu + I_nus"
+        )
     set_num_threads(int(config.n_threads) if config.n_threads != 0 else -99)
 
     from stardis_tpu.util.profiling import StageTimer
@@ -320,17 +332,6 @@ def run_stardis(config_fname, tracing_lambdas_or_nus, add_config_dict=None,
     logger.info("Creating plasma and opacity plan")
     with timer.stage("plan"):
         plan = build_simulation_plan(config, adata, stellar_model, tracing_nus_hz)
-    if mesh is not None and config.result_options.return_radiation_field:
-        # the mesh path does not assemble the per-source opacity grids;
-        # refuse up front rather than hand back a sometimes-empty
-        # opacities_dict (the round-4 verdict's segmented-path trap)
-        raise ValueError(
-            "result_options.return_radiation_field is not supported with "
-            "mesh= (the sharded path does not assemble per-source opacity "
-            "grids): run single-chip / nu_segments for the full radiation "
-            "field, or drive parallel.sharding.shard_spectrum directly "
-            "for sharded F_nu + I_nus"
-        )
     if isinstance(nu_segments, str):
         if mesh is not None:
             nu_segments = 1  # the mesh already splits the footprint

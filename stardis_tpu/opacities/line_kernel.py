@@ -206,6 +206,18 @@ def assign_window_tiers_from_block_max(win_blk, n_nu, block):
     return BlockedTiers(tiers=tiers, block=int(block), n_blocks=n_blocks)
 
 
+def blocked_tiers_on_device(win, n_depth, n_nu, block, margin: float = 1.0):
+    """One-stop tier assignment from a DEVICE [L, D] window array:
+    block-max on device, pull only [L, NB], assign tiers host-side
+    (optionally scaled by ``margin`` — serving's frozen-tier safety
+    factor).  The single entry point for the pipeline, batch and
+    serving tier paths."""
+    win_blk = np.asarray(block_max_windows(win, n_depth, block))
+    if margin != 1.0:
+        win_blk = win_blk * margin
+    return assign_window_tiers_from_block_max(win_blk, n_nu, block)
+
+
 def assign_window_tiers_blocked(win_2d, n_nu, block: int = 8):
     """Host-side: bucket (line, depth-block) pairs into window tiers.
 

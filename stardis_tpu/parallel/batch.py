@@ -176,7 +176,6 @@ def batch_window_tiers(plan, state, lq):
         return 0
     from stardis_tpu.opacities.line_kernel import (
         assign_window_tiers,
-        assign_window_tiers_blocked,
         split_core_half,
         window_pixels,
     )
@@ -199,18 +198,13 @@ def batch_window_tiers(plan, state, lq):
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
         if plan.window_block > 0:
             from stardis_tpu.opacities.line_kernel import (
-                assign_window_tiers_from_block_max,
-                block_max_windows,
+                blocked_tiers_on_device,
             )
 
             # batch-max then block-max on DEVICE; pull only [L, NB]
-            win_blk = block_max_windows(
+            bt = blocked_tiers_on_device(
                 jnp.max(win, axis=0), len(plan.temperatures),
-                plan.window_block,
-            )
-            bt = assign_window_tiers_from_block_max(
-                np.asarray(win_blk), len(plan.tracing_nus),
-                plan.window_block,
+                len(plan.tracing_nus), plan.window_block,
             )
             # split-dense core width from the batch-max doppler
             bt.core_half = split_core_half(

@@ -335,6 +335,37 @@ def shard_eval_stats(window, centers_by_key, n_depth, n_nu_global, ndev):
     return stats
 
 
+def _host_line_constants(plan, line_quants, nus_padded, nu_ref, dtype):
+    """(line_sets, centers_host) for the sharded/segmented programs.
+
+    HOST numpy on purpose: these become closure constants of the jitted
+    shard/segment programs, and lowering a DEVICE-resident constant
+    forces a device->host fetch per array (~84 s first fetch through the
+    axon tunnel; see plasma.lte.device_tables).  The traced functions
+    jnp.asarray them inside the trace, which embeds them directly.
+    """
+    line_sets = {}
+    centers_host = {}
+    if line_quants:
+        if "atomic" in line_quants:
+            centers_host["atomic"] = line_center_indices(
+                nus_padded, plan.line_data.nu
+            )
+            line_sets["atomic"] = (
+                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["atomic"]),
+            )
+        if "molecular" in line_quants:
+            centers_host["molecular"] = line_center_indices(
+                nus_padded, plan.molecule_line_data.nu
+            )
+            line_sets["molecular"] = (
+                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
+                np.asarray(centers_host["molecular"]),
+            )
+    return line_sets, centers_host
+
+
 def make_batch_nu_mesh(n_batch, n_nu, devices=None):
     """2-D mesh: atmospheres data-parallel over 'batch', the wavelength
     grid sharded over 'nu' (the DP x SP composition; SURVEY.md §7.3's
@@ -406,29 +437,9 @@ def shard_batch_spectrum(
         eps_b = jnp.zeros((n_batch, len(plan.temperatures)), dtype=dtype)
 
     nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
-    line_sets = {}
-    centers_host = {}
-    if lq_b:
-        if "atomic" in lq_b:
-            centers_host["atomic"] = line_center_indices(
-                nus_padded, plan.line_data.nu
-            )
-            # HOST numpy on purpose: these become closure constants of the
-            # jitted shard/segment programs, and lowering a DEVICE-resident
-            # constant forces a device->host fetch per array (~84 s each
-            # through the axon tunnel; see plasma.lte.device_tables)
-            line_sets["atomic"] = (
-                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                np.asarray(centers_host["atomic"]),
-            )
-        if "molecular" in lq_b:
-            centers_host["molecular"] = line_center_indices(
-                nus_padded, plan.molecule_line_data.nu
-            )
-            line_sets["molecular"] = (
-                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                np.asarray(centers_host["molecular"]),
-            )
+    line_sets, centers_host = _host_line_constants(
+        plan, lq_b, nus_padded, nu_ref, dtype
+    )
 
     nu_full = np.asarray(nus_padded, dtype=dtype)
     nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)
@@ -604,15 +615,6 @@ def segmented_spectrum(
     else:
         eps_global = plan.window_epsilon
 
-    if pad and plan.file_sources:
-        plan = dataclasses.replace(
-            plan,
-            file_sources=[
-                (name, _pad_to_multiple(sig, K, axis=1)[0], dplan)
-                for name, sig, dplan in plan.file_sources
-            ],
-        )
-
     rays_in = (
         plan.ray_distances if ray_distances is None else ray_distances
     )
@@ -627,105 +629,20 @@ def segmented_spectrum(
 
         sigmas_in = tuple(_pad_sig_seg(s) for s in file_sigma_override)
 
-    nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
-    line_sets = {}
-    centers_host = {}
-    if line_quants:
-        if "atomic" in line_quants:
-            centers_host["atomic"] = line_center_indices(
-                nus_padded, plan.line_data.nu
-            )
-            # HOST numpy on purpose: these become closure constants of the
-            # jitted shard/segment programs, and lowering a DEVICE-resident
-            # constant forces a device->host fetch per array (~84 s each
-            # through the axon tunnel; see plasma.lte.device_tables)
-            line_sets["atomic"] = (
-                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                np.asarray(centers_host["atomic"]),
-            )
-        if "molecular" in line_quants:
-            centers_host["molecular"] = line_center_indices(
-                nus_padded, plan.molecule_line_data.nu
-            )
-            line_sets["molecular"] = (
-                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                np.asarray(centers_host["molecular"]),
-            )
-
-    nu_full = np.asarray(nus_padded, dtype=dtype)
-    nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)
-
-    n_depth = len(plan.temperatures)
-    pair_arrays = {}  # key -> list over programs of [K, ...] host arrays
-    pair_meta = {}
-    for key in line_sets:
-        spec = window[key] if isinstance(window, dict) else window
-        if not isinstance(spec, (BlockedTiers, list, tuple)):
-            raise ValueError("segmented_spectrum needs tiered windows")
-        arrays, metas, blk, n_blocks = bucket_pair_programs_per_shard(
-            spec, centers_host[key], n_depth, n_padded, K, per_seg,
-            chunk=chunk, itemsize=jnp.dtype(dtype).itemsize,
-        )
-        pair_arrays[key] = arrays
-        pair_meta[key] = (metas, blk, n_blocks)
-
     _LINE_KEYS = {
         "atomic": "alpha_line_at_nu",
         "molecular": "molecule_alpha_line_at_nu",
     }
-
-    def seg_fn(offset, tiers_by_key, sv, lq, eps, rays, sigmas):
-        nus_local = jax.lax.dynamic_slice(nu_full, (offset,), (per_seg,))
-        nus_local_centered = jax.lax.dynamic_slice(
-            nu_full_centered, (offset,), (per_seg,)
-        )
-        opac = compute_continuum(
-            plan, sv, nus_local, nu_offset=offset,
-            file_sigma_override=sigmas if sigmas else None,
-        )
-        total = None
-        for _k, val in opac.items():
-            total = val if total is None else total + val
-        for key, (alpha, gamma, doppler) in (lq or {}).items():
-            # host numpy constants -> traced constants here (inside the
-            # jitted program), so traced-index gathers work and lowering
-            # never fetches a device-resident constant
-            line_nu_dev = jnp.asarray(line_sets[key][0])
-            centers_dev = jnp.asarray(line_sets[key][1])
-            metas, blk, n_blocks = pair_meta[key]
-            alpha_line = accumulate_pairs_blocked(
-                nus_local_centered, line_nu_dev, centers_dev - offset,
-                alpha, gamma, doppler, tiers_by_key[key],
-                blk=blk, n_blocks=n_blocks,
-                d_nu=plan.d_nu, chunk=chunk,
-                window_mode=plan.window_mode, window_epsilon=eps,
-                metas=metas,
-            )
-            total = total + alpha_line
-            opac[_LINE_KEYS[key]] = alpha_line
-        source = blackbody_flux_at_nu(nus_local, sv.t)
-        f_nu_local, i_nus_local = raytrace(
-            total,
-            source,
-            jnp.asarray(rays, dtype=dtype),
-            jnp.asarray(plan.weights, dtype=dtype),
-            inward_rays=plan.inward_rays,
-            photospheric_correction=plan.photospheric_correction,
-            track_individual_intensities=plan.track_individual_intensities,
-        )
-        outs = [f_nu_local]
-        if plan.track_individual_intensities:
-            outs.append(i_nus_local)
-        if collect_opacities:
-            outs.append(opac)
-        if len(outs) == 1:
-            return f_nu_local
-        return tuple(outs)
+    line_keys = tuple((line_quants or {}).keys())
 
     # cache the compiled segment program by plan/segments/tier content so
-    # repeated calls (steady-state loops, serving) don't re-trace: the
-    # closure is state-free — eps and the per-segment schedules arrive as
-    # arguments (run_batch's pattern)
+    # repeated calls (steady-state loops, serving) don't re-trace.  ALL
+    # host scheduling state — the padded plan, line-center constants, the
+    # per-segment bucketed schedules and their device copies — is a pure
+    # function of the cache key and is built inside the factory, so a
+    # cache hit (a serving request) skips the 100k-line bucketing
+    # entirely.  The key uses the CALLER's plan identity: the padded
+    # variant below is derived deterministically from it.
     from stardis_tpu.parallel.batch import (
         _cache_get_or_make,
         _SEG_CACHE,
@@ -735,10 +652,95 @@ def segmented_spectrum(
     cache_key = (
         id(plan), K, chunk, per_seg, plan.window_mode,
         plan.track_individual_intensities, str(dtype), collect_opacities,
+        line_keys,
         _window_fingerprint(window) if isinstance(window, dict)
         else window,
     )
+
     def _make_cached():
+        plan_c = plan
+        if pad and plan_c.file_sources:
+            plan_c = dataclasses.replace(
+                plan_c,
+                file_sources=[
+                    (name, _pad_to_multiple(sig, K, axis=1)[0], dplan)
+                    for name, sig, dplan in plan_c.file_sources
+                ],
+            )
+
+        nu_ref = float(plan_c.tracing_nus[len(plan_c.tracing_nus) // 2])
+        line_sets, centers_host = _host_line_constants(
+            plan_c, line_quants, nus_padded, nu_ref, dtype
+        )
+        nu_full = np.asarray(nus_padded, dtype=dtype)
+        nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)
+
+        n_depth = len(plan_c.temperatures)
+        pair_arrays = {}  # key -> list over programs of [K, ...] arrays
+        pair_meta = {}
+        for key in line_sets:
+            spec = window[key] if isinstance(window, dict) else window
+            if not isinstance(spec, (BlockedTiers, list, tuple)):
+                raise ValueError("segmented_spectrum needs tiered windows")
+            arrays, metas, blk, n_blocks = bucket_pair_programs_per_shard(
+                spec, centers_host[key], n_depth, n_padded, K, per_seg,
+                chunk=chunk, itemsize=jnp.dtype(dtype).itemsize,
+            )
+            pair_arrays[key] = arrays
+            pair_meta[key] = (metas, blk, n_blocks)
+
+        def seg_fn(offset, tiers_by_key, sv, lq, eps, rays, sigmas):
+            nus_local = jax.lax.dynamic_slice(
+                nu_full, (offset,), (per_seg,)
+            )
+            nus_local_centered = jax.lax.dynamic_slice(
+                nu_full_centered, (offset,), (per_seg,)
+            )
+            opac = compute_continuum(
+                plan_c, sv, nus_local, nu_offset=offset,
+                file_sigma_override=sigmas if sigmas else None,
+            )
+            total = None
+            for _k, val in opac.items():
+                total = val if total is None else total + val
+            for key, (alpha, gamma, doppler) in (lq or {}).items():
+                # host numpy constants -> traced constants here (inside
+                # the jitted program), so traced-index gathers work and
+                # lowering never fetches a device-resident constant
+                line_nu_dev = jnp.asarray(line_sets[key][0])
+                centers_dev = jnp.asarray(line_sets[key][1])
+                metas, blk, n_blocks = pair_meta[key]
+                alpha_line = accumulate_pairs_blocked(
+                    nus_local_centered, line_nu_dev, centers_dev - offset,
+                    alpha, gamma, doppler, tiers_by_key[key],
+                    blk=blk, n_blocks=n_blocks,
+                    d_nu=plan_c.d_nu, chunk=chunk,
+                    window_mode=plan_c.window_mode, window_epsilon=eps,
+                    metas=metas,
+                )
+                total = total + alpha_line
+                opac[_LINE_KEYS[key]] = alpha_line
+            source = blackbody_flux_at_nu(nus_local, sv.t)
+            f_nu_local, i_nus_local = raytrace(
+                total,
+                source,
+                jnp.asarray(rays, dtype=dtype),
+                jnp.asarray(plan_c.weights, dtype=dtype),
+                inward_rays=plan_c.inward_rays,
+                photospheric_correction=plan_c.photospheric_correction,
+                track_individual_intensities=(
+                    plan_c.track_individual_intensities
+                ),
+            )
+            outs = [f_nu_local]
+            if plan_c.track_individual_intensities:
+                outs.append(i_nus_local)
+            if collect_opacities:
+                outs.append(opac)
+            if len(outs) == 1:
+                return f_nu_local
+            return tuple(outs)
+
         # the per-segment schedules live on DEVICE with the compiled
         # program: transferring them per call added a multi-second first
         # segment (and per-request cost in serving) through the tunnel
@@ -899,29 +901,9 @@ def shard_spectrum(
     # centered frame for the line kernels: dnu = grid - line_nu loses ~4%
     # of a pixel to f32 cancellation at 4.5e14 Hz (see pipeline.stage_spectrum)
     nu_ref = float(plan.tracing_nus[len(plan.tracing_nus) // 2])
-    line_sets = {}
-    centers_host = {}
-    if line_quants:
-        if "atomic" in line_quants:
-            centers_host["atomic"] = line_center_indices(
-                nus_padded, plan.line_data.nu
-            )
-            # HOST numpy on purpose: these become closure constants of the
-            # jitted shard/segment programs, and lowering a DEVICE-resident
-            # constant forces a device->host fetch per array (~84 s each
-            # through the axon tunnel; see plasma.lte.device_tables)
-            line_sets["atomic"] = (
-                np.asarray(plan.line_data.nu - nu_ref, dtype=dtype),
-                np.asarray(centers_host["atomic"]),
-            )
-        if "molecular" in line_quants:
-            centers_host["molecular"] = line_center_indices(
-                nus_padded, plan.molecule_line_data.nu
-            )
-            line_sets["molecular"] = (
-                np.asarray(plan.molecule_line_data.nu - nu_ref, dtype=dtype),
-                np.asarray(centers_host["molecular"]),
-            )
+    line_sets, centers_host = _host_line_constants(
+        plan, line_quants, nus_padded, nu_ref, dtype
+    )
 
     nu_full = np.asarray(nus_padded, dtype=dtype)
     nu_full_centered = np.asarray(nus_padded - nu_ref, dtype=dtype)

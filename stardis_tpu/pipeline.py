@@ -33,7 +33,6 @@ from stardis_tpu.opacities.line_kernel import (
     accumulate_line_opacity_blocked,
     accumulate_line_opacity_tiered,
     assign_window_tiers,
-    assign_window_tiers_blocked,
     choose_window,
     grid_min_step,
     line_center_indices,
@@ -360,17 +359,13 @@ def line_window_tiers(plan, line_quants, state=None):
         else:
             win = window_pixels(alpha, gamma, doppler, plan.d_nu)
         if plan.window_block > 0:
-            # block-max on DEVICE, pull only [L, NB] (block_max_windows)
+            # block-max on DEVICE, pull only [L, NB]
             from stardis_tpu.opacities.line_kernel import (
-                assign_window_tiers_from_block_max,
-                block_max_windows,
+                blocked_tiers_on_device,
             )
 
-            win_blk = block_max_windows(
-                win, len(plan.temperatures), plan.window_block
-            )
-            bt = assign_window_tiers_from_block_max(
-                np.asarray(win_blk), n_nu, plan.window_block
+            bt = blocked_tiers_on_device(
+                win, len(plan.temperatures), n_nu, plan.window_block
             )
             # static core half-width for the split dense path: beyond it,
             # |dnu|/doppler > 15.5 for every line/depth, so the far wings

@@ -144,7 +144,6 @@ class SpectralService:
 
         from stardis_tpu.opacities.line_kernel import (
             assign_window_tiers,
-            assign_window_tiers_blocked,
             window_pixels,
             window_pixels_accuracy,
         )
@@ -163,17 +162,14 @@ class SpectralService:
                 win = window_pixels(alpha, gamma, doppler, plan.d_nu)
             if plan.window_block > 0:
                 from stardis_tpu.opacities.line_kernel import (
-                    assign_window_tiers_from_block_max,
-                    block_max_windows,
+                    blocked_tiers_on_device,
                 )
 
-                # block-max on DEVICE; pull only [L, NB]
-                win_blk = block_max_windows(
-                    win, len(plan.temperatures), plan.window_block
-                )
-                bt = assign_window_tiers_from_block_max(
-                    np.asarray(win_blk) * self._tier_margin, n_nu,
-                    plan.window_block,
+                # block-max on DEVICE; pull only [L, NB] (margin = the
+                # frozen-tier safety factor)
+                bt = blocked_tiers_on_device(
+                    win, len(plan.temperatures), n_nu, plan.window_block,
+                    margin=self._tier_margin,
                 )
                 # split-dense core width, with the tier margin so hotter
                 # requests (larger doppler) stay in the frozen core; the

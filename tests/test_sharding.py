@@ -301,3 +301,72 @@ def test_segmented_collect_opacities_and_walls(solar_plan):
     np.testing.assert_allclose(
         np.asarray(tot_seg), np.asarray(tot_ref), rtol=1e-10, atol=0
     )
+
+
+def test_segmented_cache_hits_with_padded_file_sources(tmp_path):
+    """Round-5 review finding: when the grid needs padding AND file
+    opacity sources exist, segmented_spectrum used to rebuild (and
+    recompile) per call because the cache key was taken from the
+    padded-plan copy.  Two identical calls must now share one cache
+    entry (and match the unsegmented spectrum)."""
+    import pathlib
+
+    import yaml
+
+    from stardis_tpu import parse_config_to_model
+    from stardis_tpu import units as u
+    from stardis_tpu.io.synthetic import write_marcs_file
+    from stardis_tpu.parallel.batch import _SEG_CACHE
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+    from stardis_tpu.pipeline import (
+        build_simulation_plan,
+        line_window_tiers,
+        stage_plasma_and_lines,
+        stage_spectrum,
+    )
+
+    ref_data = pathlib.Path("/root/reference/stardis/data")
+    if not ref_data.exists():
+        pytest.skip("reference data not mounted")
+    model_path = tmp_path / "sun.mod"
+    write_marcs_file(model_path)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": str(model_path),
+            "final_atomic_number": 5,
+        },
+        "opacity": {
+            "file": {"Hminus_ff": str(ref_data / "h_minus_ff_B1987.dat")},
+            "bf": {"H_I": {}},
+            "line": {"disable": False, "broadening": ["radiation"]},
+        },
+        "no_of_thetas": 3,
+        "result_options": {},
+    }
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    config, adata, model = parse_config_to_model(cfg)
+    # 50 points / 3 segments -> pad needed
+    lam = np.arange(6560.0, 6565.0, 0.1)
+    nus = np.asarray(u.Quantity(lam, u.AA).to(u.Hz, u.spectral()))
+    plan = build_simulation_plan(config, adata, model, nus)
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+
+    before = len(_SEG_CACHE)
+    f1 = segmented_spectrum(plan, state, lq, tiers, n_segments=3)
+    after_first = len(_SEG_CACHE)
+    f2 = segmented_spectrum(plan, state, lq, tiers, n_segments=3)
+    assert len(_SEG_CACHE) == after_first == before + 1
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=0)
+
+    f_ref, *_ = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
