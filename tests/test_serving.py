@@ -287,3 +287,43 @@ def test_service_segmented_auto_budget(service_setup, monkeypatch):
     np.testing.assert_allclose(
         out["spectrum_nu"], ref["spectrum_nu"], rtol=1e-10
     )
+
+
+def test_service_segmented_spherical_geometry(tmp_path):
+    """Segmented serving with SPHERICAL models: per-request chord
+    geometry threads through the segment programs and the per-model
+    (r/r_ref)^2 flux correction is swapped in — served == run_stardis
+    for a model that differs from the service template."""
+    tpl = tmp_path / "tpl.mod"
+    other = tmp_path / "other.mod"
+    write_marcs_file(tpl, teff=5777.0, spherical=True)
+    write_marcs_file(other, teff=6200.0, spherical=True,
+                     radius_cm=9.0e10)
+    config = {
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:5",
+        "input_model": {
+            "type": "marcs", "fname": str(tpl), "final_atomic_number": 5,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "line": {"disable": False, "broadening": ["radiation"]},
+        },
+        "no_of_thetas": 4,
+        "result_options": {},
+    }
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(yaml.safe_dump(config))
+    lams = u.Quantity(np.arange(6560.0, 6566.0, 0.1), u.AA)
+
+    svc = SpectralService(str(cfg), lams, dtype=np.float64, nu_segments=3)
+    svc.synthesize(_model_for(str(cfg), tpl))  # builds plan on template
+    served = svc.synthesize(_model_for(str(cfg), other))
+
+    other_cfg = tmp_path / "c_other.yml"
+    config["input_model"]["fname"] = str(other)
+    other_cfg.write_text(yaml.safe_dump(config))
+    ref = run_stardis(str(other_cfg), lams)
+    np.testing.assert_allclose(
+        served["spectrum_nu"], np.asarray(ref.spectrum_nu), rtol=1e-8
+    )
