@@ -126,8 +126,19 @@ def split_core_half(doppler_max, d_nu, margin: float = 1.0) -> int:
 
 
 def split_panel(core_half) -> int:
-    """Panel width for the split dense core pass (128-lane aligned)."""
-    return int(np.ceil(max(2 * (core_half or 0), 128) / 128.0) * 128)
+    """Panel width for the split dense core pass (128-lane aligned).
+
+    The 3-panel slice update is correct whenever every touched pixel of
+    a pair lies within +-panel of its center panel, i.e. the touched
+    HALF-width fits one panel (_run_panel_scan's coverage guarantee).
+    The core pass touches |offset| < core_half, so the minimal aligned
+    panel is ceil(core_half / 128) * 128 — the original 2*core_half
+    sizing doubled the per-pair core evals for no coverage benefit.
+    Measured effect is modest (Sim100AA stage wall 0.470 -> 0.462 s:
+    XLA's subexpression hoisting had already absorbed most of the
+    padded-core cost), but it is free and exact (split == plain ==
+    oracle at 1e-12 unchanged)."""
+    return int(np.ceil(max(core_half or 0, 128) / 128.0) * 128)
 
 
 def split_enabled(core_half, center_idx_host, n_nu) -> bool:
