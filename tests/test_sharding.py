@@ -370,3 +370,32 @@ def test_segmented_cache_hits_with_padded_file_sources(tmp_path):
     np.testing.assert_allclose(
         np.asarray(f1), np.asarray(f_ref), rtol=1e-10, atol=0
     )
+
+
+def test_segmented_accuracy_mode_equals_unsegmented(solar_plan):
+    """Accuracy window mode through the segmented partition: the
+    continuum-anchored epsilon is computed once on the full grid and
+    shipped to every segment, so segmented == unsegmented exactly
+    (the sharded-path analogue test exists; this pins the serial
+    replay used by run_stardis(nu_segments=...) and segmented
+    serving)."""
+    import dataclasses
+
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = dataclasses.replace(
+        solar_plan, window_mode="accuracy", window_epsilon=1e-4
+    )
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    f_ref, *_ = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    f_seg = segmented_spectrum(plan, state, lq, tiers, n_segments=5,
+                               chunk=None)
+    np.testing.assert_allclose(
+        np.asarray(f_seg), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
