@@ -399,3 +399,93 @@ def test_segmented_accuracy_mode_equals_unsegmented(solar_plan):
     np.testing.assert_allclose(
         np.asarray(f_seg), np.asarray(f_ref), rtol=1e-10, atol=0
     )
+
+
+@pytest.fixture(scope="module")
+def cool_molecular_plan(tmp_path_factory):
+    """A 4000 K star with BOTH line sets live (atomic VALD + molecular
+    MgH/CO lines) — exercises the dual-key bucketing of the sharded and
+    segmented program builders."""
+    import pandas as pd
+
+    from stardis_tpu.io.synthetic import write_marcs_file
+
+    base = tmp_path_factory.mktemp("shard_mol")
+    mp = base / "cool.mod"
+    write_marcs_file(mp, teff=4000.0)
+    cfg_path = base / "c.yml"
+    cfg_path.write_text(yaml.safe_dump({
+        "stardis_config_version": 1.0,
+        "atom_data": "builtin:30",
+        "input_model": {
+            "type": "marcs", "fname": str(mp), "final_atomic_number": 30,
+        },
+        "opacity": {
+            "bf": {"H_I": {}},
+            "line": {
+                "disable": False,
+                "broadening": ["radiation"],
+                "include_molecules": True,
+                "vald_linelist": {"use_linelist": True},
+            },
+        },
+        "no_of_thetas": 3,
+        "result_options": {},
+    }))
+    config, adata, model = parse_config_to_model(cfg_path)
+    adata.linelist_molecules = pd.DataFrame({
+        "molecule": ["MgH", "CO"],
+        "wavelength": [5165.0, 5168.0],
+        "log_gf": [0.5, -1.0],
+        "e_low": [0.0, 0.1],
+        "e_up": [2.4, 2.5],
+        "j_lo": [5, 2], "j_up": [6, 3],
+        "rad": [7.5, 6.0], "stark": [0.0, 0.0], "waals": [0.0, 0.0],
+    })
+    lambdas = np.arange(5160.0, 5172.0, 0.02)  # 600 px
+    nus = u.Quantity(lambdas, u.AA).to(u.Hz, u.spectral())
+    plan = build_simulation_plan(config, adata, model, np.asarray(nus))
+    assert plan.molecule_line_data is not None
+    assert plan.molecule_line_data.n_lines == 2
+    return plan
+
+
+def test_sharded_and_segmented_with_molecular_lines(cool_molecular_plan):
+    """BOTH line sets (atomic + molecular) through the per-shard program
+    builder: sharded == segmented == unsharded at 1e-10.  Previously only
+    the atomic set ever ran these paths."""
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = cool_molecular_plan
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    assert set(lq.keys()) == {"atomic", "molecular"}
+    tiers = line_window_tiers(plan, lq, state)
+    f_ref, *_ = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    # the molecular lines actually absorb (guard against a silently
+    # empty molecular contribution making this test vacuous)
+    lq_atomic_only = {"atomic": lq["atomic"]}
+    tiers_a = line_window_tiers(plan, lq_atomic_only, state)
+    f_no_mol, *_ = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers_a, chunk=None)
+    )(state, lq_atomic_only)
+    assert np.asarray(f_no_mol - f_ref).max() > 0
+
+    if len(jax.devices()) >= 4:
+        from stardis_tpu.parallel.sharding import make_nu_mesh
+
+        f_shard = shard_spectrum(
+            plan, state, lq, tiers, make_nu_mesh(4), chunk=None
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_shard), np.asarray(f_ref), rtol=1e-10, atol=0
+        )
+    f_seg = segmented_spectrum(plan, state, lq, tiers, n_segments=3,
+                               chunk=None)
+    np.testing.assert_allclose(
+        np.asarray(f_seg), np.asarray(f_ref), rtol=1e-10, atol=0
+    )
