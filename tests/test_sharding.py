@@ -489,3 +489,35 @@ def test_sharded_and_segmented_with_molecular_lines(cool_molecular_plan):
     np.testing.assert_allclose(
         np.asarray(f_seg), np.asarray(f_ref), rtol=1e-10, atol=0
     )
+
+
+def test_segmented_collect_opacities_molecular_keys(cool_molecular_plan):
+    """collect_opacities must carry the molecular per-source grids and
+    diagnostics under the same keys stage_spectrum produces."""
+    import dataclasses
+
+    from stardis_tpu.parallel.sharding import segmented_spectrum
+    from stardis_tpu.pipeline import line_window_tiers, stage_spectrum
+
+    plan = dataclasses.replace(
+        cool_molecular_plan, track_individual_intensities=True
+    )
+    state, lq = jax.jit(
+        lambda t, n: stage_plasma_and_lines(plan, t, n)
+    )(jnp.asarray(plan.temperatures), jnp.asarray(plan.n_elem))
+    tiers = line_window_tiers(plan, lq, state)
+    _f, _tot, op_ref, _i = jax.jit(
+        lambda s, q: stage_spectrum(plan, s, q, window=tiers, chunk=None)
+    )(state, lq)
+    f_seg, i_seg, op_seg, tot_seg = segmented_spectrum(
+        plan, state, lq, tiers, n_segments=3, chunk=None,
+        collect_opacities=True,
+    )
+    assert set(op_seg.keys()) == set(op_ref.keys())
+    assert "molecule_alpha_line_at_nu" in op_seg
+    assert "molecule_alpha_line_at_nu_gammas" in op_seg
+    for k in op_ref:
+        np.testing.assert_allclose(
+            np.asarray(op_seg[k]), np.asarray(op_ref[k]),
+            rtol=1e-10, atol=0, err_msg=k,
+        )
