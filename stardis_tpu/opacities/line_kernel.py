@@ -117,12 +117,39 @@ def is_dense_tier(window, n_nu):
     return DENSE_WINDOW_FRACTION * window >= n_nu
 
 
-def split_core_half(doppler_max, d_nu, margin: float = 1.0) -> int:
+def grid_center_gap_px(tracing_nus_desc) -> int:
+    """Worst-case line-to-center-pixel distance in MINIMUM-step units.
+
+    A line sits within one LOCAL grid step of its assigned center pixel
+    (line_center_indices picks nearest-from-above), and on chirped grids
+    — e.g. wavelength-uniform, where the frequency step varies by
+    (lambda_max/lambda_min)^2 — one local step is up to
+    step_max/step_min minimum steps.  split_core_half must absorb this
+    gap or the region-I guarantee silently weakens at the coarse end of
+    a wide chirped grid (round-5 review finding; the old flat +2 only
+    covered near-uniform grids).  +1 guards the ceil/rounding."""
+    grid = np.asarray(tracing_nus_desc)
+    if grid.size < 2:
+        return 2
+    steps = -np.diff(grid)
+    ratio = float(steps.max()) / float(steps.min())
+    return int(np.ceil(ratio - 1e-6)) + 1  # tolerance: float-rounded
+    # uniform grids have ratio = 1 + O(ulp), not exactly 1
+
+
+def split_core_half(doppler_max, d_nu, margin: float = 1.0,
+                    center_gap_px: int = 2) -> int:
     """Static core half-width [pixels] for the split dense path: beyond
     it |x| = |dnu|/doppler > 15.5 for every line/depth (so the Humlicek
-    selector provably picks region I).  ``margin`` scales the doppler
-    budget (serving uses its tier margin so hotter requests still fit)."""
-    return int(np.ceil(15.5 * doppler_max * margin / d_nu)) + 2
+    selector, which picks region I at |x|+y > 15.0, provably lands
+    there with 0.5 to spare).  ``margin`` scales the doppler budget
+    (serving uses its tier margin so hotter requests still fit);
+    ``center_gap_px`` is grid_center_gap_px(tracing_nus) — the
+    worst-case line-to-center-pixel distance in minimum-step units
+    (2 suffices only for near-uniform-frequency grids)."""
+    return int(np.ceil(15.5 * doppler_max * margin / d_nu)) + int(
+        center_gap_px
+    )
 
 
 def split_panel(core_half) -> int:
@@ -287,10 +314,14 @@ def window_overshoot_stats(blocked, win_2d, n_nu):
     window).
 
     For every (line, depth-block) pair in tier ``w`` the kernel budgets
-    ``min(w, n_nu)`` pixels per depth row; the in-kernel mask then zeroes
-    everything outside the TRUE adaptive window, so the pair only
-    *needed* ``min(2*ceil(win[l, d]), n_nu)`` pixels at each real depth
-    (the same quantity the tier assignment compares against ``w`` —
+    ``min(w, n_nu)`` pixels per depth row — EXCEPT dense-dispatch tiers
+    (not panelized and ``is_dense_tier``), which evaluate every local
+    pixel (``n_nu`` per row); the meter follows the same dispatch
+    predicates so wide tiers are not under-counted (round-5 review
+    finding).  The in-kernel mask then zeroes everything outside the
+    TRUE adaptive window, so the pair only *needed*
+    ``min(2*ceil(win[l, d]), n_nu)`` pixels at each real depth (the same
+    quantity the tier assignment compares against ``w`` —
     assign_window_tiers_blocked).  The ratio is the harvestable headroom
     of the tier ladder itself: 1.0 means the budget is exactly the
     physics; 2.0 means half the masked evals are provably zero.  It does
@@ -327,7 +358,13 @@ def window_overshoot_stats(blocked, win_2d, n_nu):
     for li, bi, w in blocked.tiers:
         li = np.asarray(li)
         bi = np.asarray(bi)
-        sched = float(min(w, n_nu)) * float(rows[bi].sum())
+        # dense-dispatch tiers evaluate every local pixel per row
+        width = (
+            float(n_nu)
+            if (not use_panelized(w, n_nu) and is_dense_tier(w, n_nu))
+            else float(min(w, n_nu))
+        )
+        sched = width * float(rows[bi].sum())
         within = float(need_blk[li, bi].sum())
         per_tier.append(
             {
@@ -1306,6 +1343,14 @@ def accumulate_pairs_blocked(
     n_lines, n_depth = alpha.shape
     dtype = alpha.dtype
     d_pad = blk * n_blocks
+    if n_lines == 0:
+        # empty line set: zero [D, N] grid (callers usually guard
+        # n_lines > 0, but the var0 carry seed below would IndexError on
+        # a size-0 alpha — round-5 review); derived from the grid so it
+        # inherits the manual axes under shard_map
+        return jnp.zeros((n_depth, n_nu), dtype=dtype) + (
+            tracing_nus_desc[None, :] * 0.0
+        ).astype(dtype)
 
     def to_blocks(x, fill):
         if d_pad != n_depth:

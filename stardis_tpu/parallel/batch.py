@@ -207,8 +207,11 @@ def batch_window_tiers(plan, state, lq):
                 len(plan.tracing_nus), plan.window_block,
             )
             # split-dense core width from the batch-max doppler
+            from stardis_tpu.opacities.line_kernel import grid_center_gap_px
+
             bt.core_half = split_core_half(
-                float(jnp.max(doppler)), plan.d_nu
+                float(jnp.max(doppler)), plan.d_nu,
+                center_gap_px=grid_center_gap_px(plan.tracing_nus),
             )
             window[key] = bt
         else:

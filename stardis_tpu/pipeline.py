@@ -369,11 +369,16 @@ def line_window_tiers(plan, line_quants, state=None):
             )
             # static core half-width for the split dense path: beyond it,
             # |dnu|/doppler > 15.5 for every line/depth, so the far wings
-            # can run the cheap region-I Voigt (see _accumulate_dense_split)
-            from stardis_tpu.opacities.line_kernel import split_core_half
+            # can run the cheap region-I Voigt (see _accumulate_dense_split);
+            # the center-gap term absorbs chirped-grid step variation
+            from stardis_tpu.opacities.line_kernel import (
+                grid_center_gap_px,
+                split_core_half,
+            )
 
             bt.core_half = split_core_half(
-                float(_jnp.max(line_quants[key][2])), plan.d_nu
+                float(_jnp.max(line_quants[key][2])), plan.d_nu,
+                center_gap_px=grid_center_gap_px(plan.tracing_nus),
             )
             tiers[key] = bt
         else:

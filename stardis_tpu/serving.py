@@ -177,12 +177,14 @@ class SpectralService:
                 # via bucket_pair_programs_per_shard, so mesh-backed
                 # services set it too
                 from stardis_tpu.opacities.line_kernel import (
+                    grid_center_gap_px,
                     split_core_half,
                 )
 
                 bt.core_half = split_core_half(
                     float(jnp.max(doppler)), plan.d_nu,
                     margin=self._tier_margin,
+                    center_gap_px=grid_center_gap_px(plan.tracing_nus),
                 )
                 window[key] = bt
             else:  # user opted into per-line tiers
@@ -256,8 +258,15 @@ class SpectralService:
                 if getattr(bt, "core_half", None):
                     # split-dense exactness: the region-I wing pass needs
                     # |x| > 15.5 beyond the frozen core for THIS request's
-                    # doppler widths too
-                    need = 15.5 * jnp.max(doppler) / plan.d_nu + 2.0
+                    # doppler widths too (same center-gap term the tier
+                    # freeze used — chirped grids have a wider gap)
+                    from stardis_tpu.opacities.line_kernel import (
+                        grid_center_gap_px,
+                    )
+
+                    need = 15.5 * jnp.max(doppler) / plan.d_nu + float(
+                        grid_center_gap_px(plan.tracing_nus)
+                    )
                     ok = ok & (need <= bt.core_half)
                 if hasattr(bt, "tiers") and hasattr(bt, "block"):
                     blk, nb = bt.block, bt.n_blocks

@@ -621,3 +621,126 @@ def test_window_overshoot_stats_exact_on_hand_case():
     assert tfull["pairs"] == 1
     assert tfull["scheduled"] == 1000 * 8
     assert tfull["within"] == 600 + 40 * 7
+
+
+def test_grid_center_gap_px_chirped_grids():
+    """Round-5 review: the region-I core margin must absorb the local
+    grid step at the coarse end of a chirped grid, where one local step
+    is (lambda_max/lambda_min)^2 minimum steps."""
+    from stardis_tpu.opacities.line_kernel import (
+        grid_center_gap_px,
+        split_core_half,
+    )
+
+    # uniform-frequency grid: gap = 1 step + 1 guard
+    uniform = np.linspace(5e14, 4e14, 1000)
+    assert grid_center_gap_px(uniform) == 2
+    # wavelength-uniform 3800-9000 A: step ratio (9000/3800)^2 ~ 5.6
+    lam = np.linspace(3800.0, 9000.0, 5000)
+    nus = np.sort(2.99792458e18 / lam)[::-1]
+    gap = grid_center_gap_px(nus)
+    assert 6 <= gap <= 8, gap
+    # the core half grows by the gap, not a flat +2
+    d_nu = float(-np.max(np.diff(nus)))
+    ch_flat = split_core_half(10 * d_nu, d_nu)
+    ch_gap = split_core_half(10 * d_nu, d_nu, center_gap_px=gap)
+    assert ch_gap == ch_flat - 2 + gap
+    assert grid_center_gap_px(np.asarray([4e14])) == 2  # single point
+
+
+def test_split_exact_on_chirped_grid_barely_resolved_doppler():
+    """The failure mode the gap term closes: a wide wavelength-uniform
+    grid with doppler widths of only a few FINE-end pixels — the
+    provable-region-I wing formula must still match the branchless
+    kernel at 1e-12 for a line at the COARSE end."""
+    import jax.numpy as jnp
+
+    from stardis_tpu.opacities.line_kernel import (
+        accumulate_line_opacity_blocked,
+        assign_window_tiers_blocked,
+        grid_center_gap_px,
+        grid_min_step,
+        line_center_indices,
+        split_core_half,
+    )
+
+    lam = np.linspace(3800.0, 9000.0, 4096)
+    nus = np.sort(2.99792458e18 / lam)[::-1].copy()
+    d_nu = grid_min_step(nus)
+    n_depth = 8
+    rng = np.random.default_rng(7)
+    # lines at the coarse (blue) end, doppler ~3 fine pixels, huge alpha
+    # so the adaptive window covers the grid (dense/split path)
+    line_nu = nus[40:50] - 0.3 * d_nu
+    L = len(line_nu)
+    doppler = np.full((L, n_depth), 3.0 * d_nu)
+    gamma = np.full((L, n_depth), 0.5 * d_nu)
+    alpha = 10.0 ** rng.uniform(10, 12, size=(L, n_depth))
+    win = (gamma + doppler) * alpha / d_nu * 20.0
+    blocked = assign_window_tiers_blocked(win / d_nu * 0 + win, len(nus))
+    centers = line_center_indices(nus, line_nu)
+    nu_ref = float(nus[len(nus) // 2])
+    args = (
+        jnp.asarray(nus - nu_ref), jnp.asarray(line_nu - nu_ref),
+        jnp.asarray(centers), jnp.asarray(alpha), jnp.asarray(gamma),
+        jnp.asarray(doppler),
+    )
+    blocked.core_half = split_core_half(
+        float(doppler.max()), d_nu,
+        center_gap_px=grid_center_gap_px(nus),
+    )
+    out_split = accumulate_line_opacity_blocked(
+        *args, blocked=blocked, d_nu=d_nu, chunk=None,
+        center_idx_host=centers,
+    )
+    # plain path: no core_half -> no split, full branchless kernel
+    import dataclasses
+
+    blocked_plain = dataclasses.replace(blocked, core_half=None)
+    out_plain = accumulate_line_opacity_blocked(
+        *args, blocked=blocked_plain, d_nu=d_nu, chunk=None,
+        center_idx_host=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_split), np.asarray(out_plain), rtol=1e-12, atol=0
+    )
+
+
+def test_window_overshoot_counts_dense_tiers_at_grid_width():
+    """Round-5 review: dense-dispatch tiers evaluate every local pixel,
+    so the meter must budget n_nu per row for them, not the tier w."""
+    from stardis_tpu.opacities.line_kernel import (
+        assign_window_tiers_blocked,
+        window_overshoot_stats,
+    )
+
+    n_nu = 1000
+    # win=100 -> 2*ceil=200: skips the 128 tier, lands in 512, which is
+    # dense at this grid (64*512 >= 1000) and NOT panelized (4*512 > 1000)
+    win = np.full((4, 8), 100.0)
+    blocked = assign_window_tiers_blocked(win, n_nu, block=8)
+    [(li, bi, w)] = blocked.tiers
+    assert w == 512
+    stats = window_overshoot_stats(blocked, win, n_nu)
+    t = stats["per_tier"][0]
+    assert t["scheduled"] == 1000 * 4 * 8  # n_nu per row, not 512
+    assert t["within"] == 200 * 4 * 8
+
+
+def test_accumulate_pairs_blocked_empty_line_set():
+    """Round-5 review: a size-0 line set must return the zero grid, not
+    IndexError on the carry seed."""
+    import jax.numpy as jnp
+
+    from stardis_tpu.opacities.line_kernel import accumulate_pairs_blocked
+
+    n_nu, n_depth = 64, 5
+    out = accumulate_pairs_blocked(
+        jnp.linspace(1.0, 0.0, n_nu), jnp.zeros((0,)),
+        jnp.zeros((0,), jnp.int64),
+        jnp.zeros((0, n_depth)), jnp.zeros((0, n_depth)),
+        jnp.ones((0, n_depth)),
+        pair_tiers=[], blk=8, n_blocks=1, d_nu=0.01,
+    )
+    assert out.shape == (n_depth, n_nu)
+    assert float(jnp.abs(out).max()) == 0.0
