@@ -117,6 +117,24 @@ def is_dense_tier(window, n_nu):
     return DENSE_WINDOW_FRACTION * window >= n_nu
 
 
+def auto_chunk(chunk, memory_budget_bytes, row_width, bdim, itemsize,
+               n_items) -> int:
+    """Shared chunk-size rule for the scan kernels (was copy-pasted four
+    times — round-5 review): the memory budget divided by ~4 live
+    [chunk, bdim, row_width] arrays, sublane-aligned, floored so the
+    scan stays under ~4096 iterations (scans with ~8k+ trip counts
+    fault the TPU runtime; observed on a 150k-point grid where the
+    budget alone drove the chunk down to 27), and capped at the item
+    count.  An explicit ``chunk`` skips the budget math but keeps the
+    item-count cap."""
+    c = chunk
+    if c is None:
+        c = memory_budget_bytes // (4 * bdim * row_width * itemsize)
+        c = max(32, (c // 8) * 8, -(-n_items // 4096))
+        c = -(-c // 8) * 8
+    return int(min(c, max(8, n_items)))
+
+
 def grid_center_gap_px(tracing_nus_desc) -> int:
     """Worst-case line-to-center-pixel distance in MINIMUM-step units.
 
@@ -425,15 +443,8 @@ def _accumulate_dense(
     n_pairs, bdim = p_alpha.shape
     dtype = p_alpha.dtype
     itemsize = jnp.dtype(dtype).itemsize
-    c = chunk
-    if c is None:
-        c = memory_budget_bytes // (4 * bdim * n_nu * itemsize)
-        # sublane-aligned, and capped to <=4096 scan iterations: scans with
-        # ~8k+ trip counts fault the TPU runtime (observed on a 150k-point
-        # grid where the memory budget drove the chunk down to 27)
-        c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
-        c = -(-c // 8) * 8
-    c = int(min(c, max(8, n_pairs)))
+    c = auto_chunk(chunk, memory_budget_bytes, n_nu, bdim, itemsize,
+                   n_pairs)
     pad = (-n_pairs) % c
 
     def pad1(x, fill):
@@ -530,13 +541,8 @@ def accumulate_line_opacity(
             window_mode=window_mode,
         )
 
-    if chunk is None:
-        itemsize = jnp.dtype(dtype).itemsize
-        chunk = memory_budget_bytes // (4 * n_depth * window * itemsize)
-        # sublane-aligned; <=4096 scan iterations (see _accumulate_dense)
-        chunk = max(32, (chunk // 8) * 8, -(-n_lines // 4096))
-        chunk = -(-chunk // 8) * 8
-        chunk = int(min(chunk, max(8, n_lines)))
+    chunk = auto_chunk(chunk, memory_budget_bytes, window, n_depth,
+                       jnp.dtype(dtype).itemsize, n_lines)
 
     # pad lines to a chunk multiple; padded entries get alpha=0 and an
     # out-of-range center so their (masked) contributions vanish
@@ -974,10 +980,17 @@ def _accumulate_dense_split(
       slice around each pair's center panel (pairs grouped by panel
       host-side; static slice adds, no scatter).
     """
-    from stardis_tpu.opacities.voigt import voigt_profile_region1
-
     n_nu = tracing_nus_desc.shape[0]
     dtype = alpha_b.dtype
+    # phi/mask selectors from the same meta dicts the sharded program
+    # builder emits, so the core/wing boundary convention lives in ONE
+    # place (_resolve_phi_mask)
+    wing_phi, wing_mask = _resolve_phi_mask(
+        {"phi": "region1", "mask": ("wing", core_half)}
+    )
+    core_phi, core_mask = _resolve_phi_mask(
+        {"phi": "voigt", "mask": ("core", core_half)}
+    )
 
     # ---- wing pass: whole grid, region-I only, pairs grouped by depth
     # block host-side; the per-block dense scan reduces over the chunk
@@ -1007,8 +1020,8 @@ def _accumulate_dense_split(
             chunk=chunk,
             memory_budget_bytes=memory_budget_bytes,
             window_mode=window_mode,
-            phi_fn=voigt_profile_region1,
-            off_mask_fn=lambda off: jnp.abs(off) >= core_half,
+            phi_fn=wing_phi,
+            off_mask_fn=wing_mask,
         )  # [blk, N]
         acc = (
             acc.reshape(n_nu, n_blocks, blk)
@@ -1023,8 +1036,8 @@ def _accumulate_dense_split(
         alpha_b, gamma_b, doppler_b,
         line_idx, block_idx, blk, n_blocks,
         panel=split_panel(core_half),
-        phi_fn=voigt_profile,
-        off_mask_fn=lambda off: jnp.abs(off) < core_half,
+        phi_fn=core_phi,
+        off_mask_fn=core_mask,
         d_nu=d_nu, chunk=chunk,
         memory_budget_bytes=memory_budget_bytes,
         window_mode=window_mode,
@@ -1061,30 +1074,10 @@ def accumulate_line_opacity_blocked(
     blk, n_blocks = blocked.block, blocked.n_blocks
     d_pad = blk * n_blocks
 
-    def to_blocks(x, fill):
-        if d_pad != n_depth:
-            x = jnp.concatenate(
-                [x, jnp.full((n_lines, d_pad - n_depth), fill, dtype=x.dtype)],
-                axis=1,
-            )
-        return x.reshape(n_lines, n_blocks, blk)
-
     # padded depths: alpha=0 (no contribution), widths 1 (finite Voigt)
-    alpha_b = to_blocks(alpha, 0.0)
-    gamma_b = to_blocks(gamma, 1.0)
-    doppler_b = to_blocks(doppler, 1.0)
-
-    eps_b = window_epsilon
-    per_depth_eps = hasattr(window_epsilon, "shape") and np.prod(
-        window_epsilon.shape
-    ) > 1
-    if per_depth_eps:
-        eps_flat = jnp.reshape(window_epsilon, (-1,))
-        if d_pad != n_depth:
-            eps_flat = jnp.concatenate(
-                [eps_flat, jnp.full((d_pad - n_depth,), jnp.inf, eps_flat.dtype)]
-            )
-        eps_b = eps_flat.reshape(n_blocks, blk)  # [NB, B]
+    alpha_b, gamma_b, doppler_b, eps_b, per_depth_eps = _depth_block_inputs(
+        alpha, gamma, doppler, window_epsilon, blk, n_blocks
+    )
 
     itemsize = jnp.dtype(dtype).itemsize
 
@@ -1104,8 +1097,6 @@ def accumulate_line_opacity_blocked(
             and blocked.core_half
             and center_idx_host is not None
         ):
-            from stardis_tpu.opacities.voigt import voigt_profile_region1
-
             ch = blocked.core_half
             common = dict(
                 blk=blk, n_blocks=n_blocks, d_nu=d_nu, chunk=chunk,
@@ -1117,32 +1108,29 @@ def accumulate_line_opacity_blocked(
                 # split tier: same two exact passes as the split dense
                 # path, panelized at the window scale — full-Voigt cores
                 # within +-core_half, region-I far wings out to the true
-                # window, no scatter rows
-                acc = _accumulate_panelized(
-                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                    panel=split_panel(ch),
-                    phi_fn=voigt_profile,
-                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) < _ch,
-                    acc=acc, **common,
-                )
-                acc = _accumulate_panelized(
-                    tracing_nus_desc, line_nu, center_idx, center_idx_host,
-                    alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                    panel=int(np.ceil((w // 2) / 128.0) * 128),
-                    phi_fn=voigt_profile_region1,
-                    off_mask_fn=lambda off, _ch=ch: jnp.abs(off) >= _ch,
-                    acc=acc, **common,
-                )
+                # window, no scatter rows.  phi/mask selectors come from
+                # the SAME meta dicts bucket_pair_programs_per_shard
+                # emits (_resolve_phi_mask), so the single-chip and
+                # sharded core/wing boundary cannot diverge
+                passes = [
+                    (split_panel(ch), {"phi": "voigt",
+                                       "mask": ("core", ch)}),
+                    (int(np.ceil((w // 2) / 128.0) * 128),
+                     {"phi": "region1", "mask": ("wing", ch)}),
+                ]
             else:
                 # core-dominated window: one panelized full-Voigt pass
                 # (still removes the scatter rows; 3*panel evals/pair)
+                passes = [
+                    (int(np.ceil(max(w // 2, 128) / 128.0) * 128),
+                     {"phi": "voigt", "mask": ("all",)}),
+                ]
+            for panel0, meta in passes:
+                phi_fn, off_mask_fn = _resolve_phi_mask(meta)
                 acc = _accumulate_panelized(
                     tracing_nus_desc, line_nu, center_idx, center_idx_host,
                     alpha_b, gamma_b, doppler_b, line_idx, block_idx,
-                    panel=int(np.ceil(max(w // 2, 128) / 128.0) * 128),
-                    phi_fn=voigt_profile,
-                    off_mask_fn=lambda off: jnp.ones(off.shape, bool),
+                    panel=panel0, phi_fn=phi_fn, off_mask_fn=off_mask_fn,
                     acc=acc, **common,
                 )
             continue
@@ -1196,13 +1184,8 @@ def accumulate_line_opacity_blocked(
                     .reshape(n_nu * n_blocks, blk)
                 )
             continue
-        c = chunk
-        if c is None:
-            c = memory_budget_bytes // (4 * blk * w * itemsize)
-            # sublane-aligned; <=4096 scan iterations (see _accumulate_dense)
-            c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
-            c = -(-c // 8) * 8
-        c = int(min(c, max(8, n_pairs)))
+        c = auto_chunk(chunk, memory_budget_bytes, w, blk, itemsize,
+                       n_pairs)
         pad = (-n_pairs) % c
         li = np.concatenate([line_idx, np.zeros(pad, np.int64)]) if pad else line_idx
         bi = np.concatenate([block_idx, np.zeros(pad, np.int64)]) if pad else block_idx
@@ -1270,6 +1253,45 @@ def accumulate_line_opacity_blocked(
 
     out = acc.reshape(n_nu, d_pad)[:, :n_depth]
     return out.T  # [D, N]
+
+
+def _depth_block_inputs(alpha, gamma, doppler, window_epsilon, blk,
+                        n_blocks):
+    """Shared depth-blocking preamble of the two blocked entry points
+    (was duplicated — round-5 review): pad the [L, D] line quantities to
+    the block grid (alpha=0 so padding contributes nothing, widths 1 so
+    the Voigt stays finite) and reshape [L, NB, B]; pad a per-depth
+    epsilon with +inf (padding can never pass an accuracy threshold).
+
+    Returns (alpha_b, gamma_b, doppler_b, eps_b, per_depth_eps).
+    """
+    n_lines, n_depth = alpha.shape
+    d_pad = blk * n_blocks
+
+    def to_blocks(x, fill):
+        if d_pad != n_depth:
+            x = jnp.concatenate(
+                [x, jnp.full((n_lines, d_pad - n_depth), fill, dtype=x.dtype)],
+                axis=1,
+            )
+        return x.reshape(n_lines, n_blocks, blk)
+
+    alpha_b = to_blocks(alpha, 0.0)
+    gamma_b = to_blocks(gamma, 1.0)
+    doppler_b = to_blocks(doppler, 1.0)
+
+    eps_b = window_epsilon
+    per_depth_eps = hasattr(window_epsilon, "shape") and np.prod(
+        window_epsilon.shape
+    ) > 1
+    if per_depth_eps:
+        eps_flat = jnp.reshape(window_epsilon, (-1,))
+        if d_pad != n_depth:
+            eps_flat = jnp.concatenate(
+                [eps_flat, jnp.full((d_pad - n_depth,), jnp.inf, eps_flat.dtype)]
+            )
+        eps_b = eps_flat.reshape(n_blocks, blk)  # [NB, B]
+    return alpha_b, gamma_b, doppler_b, eps_b, per_depth_eps
 
 
 def _resolve_phi_mask(meta):
@@ -1352,29 +1374,9 @@ def accumulate_pairs_blocked(
             tracing_nus_desc[None, :] * 0.0
         ).astype(dtype)
 
-    def to_blocks(x, fill):
-        if d_pad != n_depth:
-            x = jnp.concatenate(
-                [x, jnp.full((n_lines, d_pad - n_depth), fill, dtype=x.dtype)],
-                axis=1,
-            )
-        return x.reshape(n_lines, n_blocks, blk)
-
-    alpha_b = to_blocks(alpha, 0.0)
-    gamma_b = to_blocks(gamma, 1.0)
-    doppler_b = to_blocks(doppler, 1.0)
-
-    eps_b = window_epsilon
-    per_depth_eps = hasattr(window_epsilon, "shape") and np.prod(
-        window_epsilon.shape
-    ) > 1
-    if per_depth_eps:
-        eps_flat = jnp.reshape(window_epsilon, (-1,))
-        if d_pad != n_depth:
-            eps_flat = jnp.concatenate(
-                [eps_flat, jnp.full((d_pad - n_depth,), jnp.inf, eps_flat.dtype)]
-            )
-        eps_b = eps_flat.reshape(n_blocks, blk)  # [NB, B]
+    alpha_b, gamma_b, doppler_b, eps_b, per_depth_eps = _depth_block_inputs(
+        alpha, gamma, doppler, window_epsilon, blk, n_blocks
+    )
 
     itemsize = jnp.dtype(dtype).itemsize
     nb_range = jnp.arange(n_blocks)
@@ -1426,13 +1428,8 @@ def accumulate_pairs_blocked(
         w = meta["window"]
         dense = meta["kind"] == "dense"
         width = n_nu if dense else w
-        c = chunk
-        if c is None:
-            c = memory_budget_bytes // (4 * blk * width * itemsize)
-            # sublane-aligned; <=4096 scan iterations (see _accumulate_dense)
-            c = max(32, (c // 8) * 8, -(-n_pairs // 4096))
-            c = -(-c // 8) * 8
-        c = int(min(c, max(8, n_pairs)))
+        c = auto_chunk(chunk, memory_budget_bytes, width, blk, itemsize,
+                       n_pairs)
         pad = (-n_pairs) % c
         if pad:
             li = jnp.concatenate([li, jnp.zeros(pad, li.dtype)])
